@@ -1,0 +1,194 @@
+"""Configuration for the TPU-native EAO-SLAM engine.
+
+Replaces the reference's three config mechanisms (SURVEY.md §5): OpenCV YAML
+settings (Examples/Monocular/TUM3.yaml, parsed in src/Tracking.cc:78-195),
+the CLI demo-flag string gating ablations (src/System.cc:41-43), and
+compile-time #defines (include/ProbabilityMapping.h:45-56). Everything is a
+frozen dataclass so configs hash as jit-static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+from eao_slam_tpu.geometry.camera import Camera, TUM3
+
+
+class DemoFlag(enum.Enum):
+    """Ablation flags, mirroring mono_tum's CLI contract
+    (Examples/Monocular/mono_tum.cc:35-48, README §3)."""
+
+    NONE = "None"            # plain mono tracking + BA, objects off
+    IFOREST = "iForest"      # + iForest outlier rejection only
+    LINE_IFOREST = "LineAndiForest"  # + line-alignment yaw
+    NA = "NA"                # objects on, no parametric/nonparametric assoc tests
+    IOU = "IoU"              # association by IoU only
+    NP = "NP"                # association by nonparametric rank-sum only
+    EAO = "EAO"              # full ensemble association, no lines
+    FULL = "Full"            # everything (incl. semi-dense mapping)
+
+    @property
+    def objects_enabled(self) -> bool:
+        return self != DemoFlag.NONE
+
+    @property
+    def use_iou(self) -> bool:
+        # IoU stage active in IoU / EAO / Full / iForest / LineAndiForest
+        # (reference checks mflag != "NA" && mflag != "NP", src/Object.cc:184)
+        return self not in (DemoFlag.NA, DemoFlag.NP, DemoFlag.NONE)
+
+    @property
+    def use_nonparam(self) -> bool:
+        # rank-sum stage active unless flag is NA or IoU (src/Object.cc:258)
+        return self not in (DemoFlag.NA, DemoFlag.IOU, DemoFlag.NONE)
+
+    @property
+    def use_ttest(self) -> bool:
+        # t-test stage belongs to the full ensemble (src/Object.cc:465)
+        return self in (DemoFlag.EAO, DemoFlag.FULL, DemoFlag.IFOREST, DemoFlag.LINE_IFOREST)
+
+    @property
+    def use_iforest(self) -> bool:
+        return self in (DemoFlag.IFOREST, DemoFlag.LINE_IFOREST, DemoFlag.EAO, DemoFlag.FULL)
+
+    @property
+    def use_yaw_lines(self) -> bool:
+        # line-alignment yaw sampling (src/Tracking.cc:2627 gates on flag)
+        return self in (DemoFlag.LINE_IFOREST, DemoFlag.FULL)
+
+    @property
+    def semidense_enabled(self) -> bool:
+        return self == DemoFlag.FULL
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    """ORB extractor parameters (TUM3.yaml:39-56 / include/ORBextractor.h)."""
+
+    n_features: int = 1024          # ref: 1000 online / 2000 at init (src/Tracking.cc:144-150)
+    n_features_init: int = 2048
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    fast_threshold: int = 20        # iniThFAST
+    fast_min_threshold: int = 7     # minThFAST fallback
+    cell_size: int = 32             # ref uses 30px cells (src/ORBextractor.cc:790); 32 tiles better
+    edge_threshold: int = 19        # border for descriptor support (include/ORBextractor.h)
+    patch_size: int = 31
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """ORBmatcher thresholds (include/ORBmatcher.h:85-87 and call sites)."""
+
+    th_low: int = 50
+    th_high: int = 100
+    nn_ratio_tracking: float = 0.9
+    nn_ratio_init: float = 0.9
+    hist_bins: int = 30             # rotation-consistency histogram (HISTO_LENGTH)
+    search_radius_motion: float = 15.0
+    search_radius_map: float = 3.0  # multiplied by scale of predicted octave
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig:
+    max_frames_between_kf: int = 30     # == fps (Tracking::NeedNewKeyFrame)
+    min_frames_between_kf: int = 0
+    min_tracked_for_ok: int = 30
+    min_matches_motion: int = 20
+    min_matches_ref_kf: int = 15
+    min_inliers_after_pose: int = 10
+    kf_tracked_ratio: float = 0.9       # thRefRatio for mono (src/Tracking.cc:1840)
+    min_init_matches: int = 100         # Initializer gate (src/Tracking.cc:880)
+
+
+@dataclasses.dataclass(frozen=True)
+class ObjectConfig:
+    """EAO object-layer parameters (src/Object.cc constants)."""
+
+    iou_threshold: float = 0.5            # motion-IoU stage (src/Object.cc:222)
+    iou_threshold_nomotion: float = 0.6
+    proj_iou_threshold: float = 0.25      # projected-box stage (src/Object.cc:351)
+    rank_sum_band: float = 1.282          # 80% two-sided band on Wilcoxon W (src/Object.cc:904)
+    ttest_alpha_col: int = 4              # alpha=0.05 column of data/t_test.txt
+    iforest_trees: int = 50               # src/Object.cc:1214
+    iforest_threshold: float = 0.6        # anomaly score gate (:1260)
+    iforest_threshold_tv: float = 0.65    # class 62 tvmonitor (:1258)
+    iforest_seed: int = 12345             # :1214
+    iforest_min_points: int = 8
+    yaw_samples: int = 30                 # ±45° in 3° steps (src/Tracking.cc:2661)
+    yaw_range_deg: float = 45.0
+    yaw_angle_gate_deg: float = 5.0       # line-parallelism gate (:2757)
+    box_expand_px: float = 15.0           # AssociateObjAndLines (:2477)
+    min_points_per_object: int = 5
+    depth_subsample_limit: float = 3.0    # map-point subsampling band (src/Object.cc:752-810)
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    """Local-mapping + BA parameters (src/Optimizer.cc, src/LocalMapping.cc)."""
+
+    local_ba_kf_window: int = 16
+    local_ba_iters_first: int = 5
+    local_ba_iters_second: int = 10
+    pose_lm_rounds: int = 4
+    pose_lm_iters: int = 10
+    chi2_mono: float = 5.991
+    huber_delta: float = 2.4477       # sqrt(5.991)
+    kf_cull_redundancy: float = 0.9   # 90% rule (src/LocalMapping.cc:637-707)
+    point_cull_found_ratio: float = 0.25
+
+
+@dataclasses.dataclass(frozen=True)
+class SemiDenseConfig:
+    """ProbabilityMapping parameters (include/ProbabilityMapping.h:45-56)."""
+
+    covis_n: int = 7
+    sigma_i: float = 20.0
+    lambda_g: float = 8.0
+    lambda_l: float = 80.0
+    lambda_theta: float = 45.0
+    lambda_n: float = 3
+    theta: float = 0.23
+    n_support: int = 7                # NNRATIO-style support requirement
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityConfig:
+    """Fixed capacities of the SoA map state (SURVEY.md §7.1): all device
+    arrays are padded to these sizes and masked."""
+
+    max_keyframes: int = 256
+    max_points: int = 16384
+    max_objects: int = 64
+    max_features: int = 1024          # per-frame keypoint slots
+    max_boxes: int = 16               # YOLO boxes per frame
+    max_lines: int = 128              # 2D line segments per frame
+    max_obs: int = 65536              # observation table for BA
+    grid_cols: int = 64
+    grid_rows: int = 48
+    grid_bucket: int = 16             # max features per grid cell bucket
+
+
+@dataclasses.dataclass(frozen=True)
+class SystemConfig:
+    camera: Camera = TUM3
+    flag: DemoFlag = DemoFlag.NONE
+    orb: OrbConfig = OrbConfig()
+    matcher: MatcherConfig = MatcherConfig()
+    tracking: TrackingConfig = TrackingConfig()
+    objects: ObjectConfig = ObjectConfig()
+    mapping: MappingConfig = MappingConfig()
+    semidense: SemiDenseConfig = SemiDenseConfig()
+    capacity: CapacityConfig = CapacityConfig()
+    seed: int = 12345
+
+    def replace(self, **kw) -> "SystemConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tum3_config(flag: DemoFlag | str = DemoFlag.NONE, **kw) -> SystemConfig:
+    if isinstance(flag, str):
+        flag = DemoFlag(flag)
+    return SystemConfig(camera=TUM3, flag=flag, **kw)
