@@ -1,0 +1,304 @@
+"""ORB feature extraction as batched, static-shape TPU ops.
+
+TPU-native re-design of ORBextractor (src/ORBextractor.cc, SURVEY.md §2.1):
+
+  * FAST-9/16 corner score — computed densely for the whole level on the VPU
+    (rolled-difference min-max formulation) instead of the reference's
+    per-30px-cell scalar loops (ComputeKeyPointsOctTree, :765-834).
+  * spatial distribution — the reference's DistributeOctTree (:539) exists to
+    spread keypoints uniformly; the TPU-idiomatic equivalent is per-tile
+    argmax followed by a global top-k (SURVEY.md §7.2 step 2).
+  * orientation — IC_Angle (:77) as a masked intensity-centroid over gathered
+    31x31 patches, vmapped across keypoints.
+  * descriptors — steered BRIEF (computeOrbDescriptor, :108) with a
+    deterministically generated 256-pair pattern (fixed seed; NOT the OpenCV
+    learned table — this engine only matches against its own descriptors).
+
+Everything below is shape-static and jit-compiles to one fused program.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eao_slam_tpu.ops import image as image_ops
+
+# FAST circle of radius 3 (standard Bresenham 16-point ring), (dy, dx).
+_FAST_RING = np.array(
+    [
+        (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+        (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+    ],
+    np.int32,
+)
+
+PATCH_R = 15          # IC_Angle / BRIEF support radius (HALF_PATCH_SIZE)
+PATCH = 2 * PATCH_R + 1
+
+
+def _make_brief_pattern(seed: int = 8017, n_bits: int = 256, radius: int = 13) -> np.ndarray:
+    """Deterministic BRIEF sampling pattern [n_bits, 4] = (y1, x1, y2, x2).
+
+    Gaussian-distributed pairs (sigma = radius/2.5) clipped to a disc of
+    `radius`, so rotated offsets never leave the 31x31 support patch. This
+    replaces the reference's learned bit_pattern_31 constant with a generated
+    one — matching is internal, so only self-consistency matters.
+    """
+    rng = np.random.default_rng(seed)
+    pts = []
+    while len(pts) < n_bits * 2:
+        p = rng.normal(0.0, radius / 2.5, 2)
+        if p @ p <= radius * radius:
+            pts.append(p)
+    pts = np.asarray(pts[: n_bits * 2])
+    return np.concatenate([pts[:n_bits], pts[n_bits:]], axis=1).astype(np.float32)
+
+
+BRIEF_PATTERN = _make_brief_pattern()
+
+
+# ---------------------------------------------------------------------------
+# dense FAST score
+# ---------------------------------------------------------------------------
+
+def fast_score(img: jnp.ndarray) -> jnp.ndarray:
+    """Dense FAST-9/16 corner score.
+
+    score(p) = max(  max_s min_{i in arc9(s)} (ring_i - I_p),
+                     max_s min_{i in arc9(s)} (I_p - ring_i) )
+    i.e. the largest threshold at which p is still a FAST corner — the same
+    quantity cv::FAST's score computes per detected corner, but evaluated
+    densely with rolled tensors (pure VPU work, no data-dependent loops).
+    """
+    ring = jnp.stack(
+        [jnp.roll(img, (-dy, -dx), axis=(0, 1)) for dy, dx in _FAST_RING], axis=0
+    )  # [16, H, W]
+    diff_b = ring - img[None]   # bright: ring brighter than center
+    diff_d = -diff_b
+
+    def arc9_max_min(d):
+        # min over 9 consecutive ring positions (circular), then max over
+        # the 16 start positions; hierarchical mins: 9 = 8 + 1.
+        m = d
+        m = jnp.minimum(m, jnp.roll(d, -1, axis=0))          # runs of 2
+        m = jnp.minimum(m, jnp.roll(m, -2, axis=0))          # runs of 4
+        m = jnp.minimum(m, jnp.roll(m, -4, axis=0))          # runs of 8
+        m = jnp.minimum(m, jnp.roll(d, -8, axis=0))          # runs of 9
+        return jnp.max(m, axis=0)
+
+    return jnp.maximum(arc9_max_min(diff_b), arc9_max_min(diff_d))
+
+
+def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
+    """Keep only 3x3-local maxima (cv::FAST nonmaxSuppression=true)."""
+    mx = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return jnp.where(score >= mx, score, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# per-tile keypoint selection (octree replacement)
+# ---------------------------------------------------------------------------
+
+def select_keypoints(score: jnp.ndarray, n_out: int, threshold: float,
+                     min_threshold: float, border: int, cell: int):
+    """Spatially-uniform top-n keypoints from a dense score map.
+
+    Two-tier selection replicating the octree's intent (DistributeOctTree,
+    src/ORBextractor.cc:539): each `cell`x`cell` tile contributes its best
+    corner; the global top-`n_out` of those tile winners is kept. Tile
+    winners scoring above `threshold` are strictly preferred over those only
+    above `min_threshold` (the reference's per-cell threshold fallback).
+
+    Returns (yx [n_out, 2] int32, resp [n_out], valid [n_out]).
+    """
+    h, w = score.shape
+    # border + NMS-safety mask
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    inb = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    s = jnp.where(inb, score, 0.0)
+
+    ph = (cell - h % cell) % cell
+    pw = (cell - w % cell) % cell
+    sp = jnp.pad(s, ((0, ph), (0, pw)))
+    th, tw = sp.shape[0] // cell, sp.shape[1] // cell
+    tiles = sp.reshape(th, cell, tw, cell).transpose(0, 2, 1, 3).reshape(th * tw, cell * cell)
+
+    tile_best = jnp.argmax(tiles, axis=1)
+    tile_score = jnp.take_along_axis(tiles, tile_best[:, None], axis=1)[:, 0]
+    # strong corners rank above weak-but-acceptable ones
+    rank = jnp.where(
+        tile_score >= threshold, tile_score + 1e4,
+        jnp.where(tile_score >= min_threshold, tile_score, -1.0),
+    )
+    k = min(n_out, th * tw)
+    top_rank, top_idx = jax.lax.top_k(rank, k)
+
+    tile_y = (top_idx // tw) * cell + tile_best[top_idx] // cell
+    tile_x = (top_idx % tw) * cell + tile_best[top_idx] % cell
+    yx = jnp.stack([tile_y, tile_x], axis=-1).astype(jnp.int32)
+    resp = tile_score[top_idx]
+    valid = top_rank > 0.0
+    if k < n_out:
+        pad = n_out - k
+        yx = jnp.concatenate([yx, jnp.zeros((pad, 2), jnp.int32)])
+        resp = jnp.concatenate([resp, jnp.zeros((pad,), resp.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return yx, resp, valid
+
+
+# ---------------------------------------------------------------------------
+# orientation + descriptor
+# ---------------------------------------------------------------------------
+
+def _ic_angle_weights():
+    """Circular mask and coordinate grids for the intensity centroid."""
+    ys, xs = np.mgrid[-PATCH_R : PATCH_R + 1, -PATCH_R : PATCH_R + 1]
+    mask = (ys * ys + xs * xs) <= PATCH_R * PATCH_R
+    return (
+        jnp.asarray(mask, jnp.float32),
+        jnp.asarray(xs, jnp.float32),
+        jnp.asarray(ys, jnp.float32),
+    )
+
+_IC_MASK, _IC_XS, _IC_YS = _ic_angle_weights()
+
+
+def _gather_patches(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
+    """Gather [N, 31, 31] patches centered at integer keypoints (keypoints
+    are guaranteed >= border from the image edge by selection)."""
+
+    def one(p):
+        return jax.lax.dynamic_slice(
+            img, (p[0] - PATCH_R, p[1] - PATCH_R), (PATCH, PATCH)
+        )
+
+    return jax.vmap(one)(yx)
+
+
+def ic_angles(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
+    """IC_Angle (src/ORBextractor.cc:77): orientation from the intensity
+    centroid of the circular patch. Returns radians [N]."""
+    patches = _gather_patches(img, yx)
+    m01 = jnp.sum(patches * _IC_YS * _IC_MASK, axis=(1, 2))
+    m10 = jnp.sum(patches * _IC_XS * _IC_MASK, axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def brief_descriptors(
+    img_blur: jnp.ndarray, yx: jnp.ndarray, angles: jnp.ndarray
+) -> jnp.ndarray:
+    """Steered BRIEF over blurred patches -> [N, 8] uint32 (256 bits).
+
+    Equivalent role to computeOrbDescriptor (src/ORBextractor.cc:108): the
+    sampling pattern is rotated by the keypoint angle and compared pairwise.
+    """
+    patches = _gather_patches(img_blur, yx)  # [N, 31, 31]
+    pat = jnp.asarray(BRIEF_PATTERN)  # [256, 4] (y1, x1, y2, x2)
+
+    cos, sin = jnp.cos(angles), jnp.sin(angles)  # [N]
+
+    def rot_idx(y, x):
+        # rotate pattern offsets by keypoint angle, round to nearest pixel
+        ry = jnp.round(x[None, :] * sin[:, None] + y[None, :] * cos[:, None])
+        rx = jnp.round(x[None, :] * cos[:, None] - y[None, :] * sin[:, None])
+        iy = jnp.clip(ry.astype(jnp.int32) + PATCH_R, 0, PATCH - 1)
+        ix = jnp.clip(rx.astype(jnp.int32) + PATCH_R, 0, PATCH - 1)
+        return iy * PATCH + ix  # flattened [N, 256]
+
+    flat = patches.reshape(patches.shape[0], -1)
+    i1 = rot_idx(pat[:, 0], pat[:, 1])
+    i2 = rot_idx(pat[:, 2], pat[:, 3])
+    v1 = jnp.take_along_axis(flat, i1, axis=1)
+    v2 = jnp.take_along_axis(flat, i2, axis=1)
+    bits = (v1 < v2).astype(jnp.uint32)  # [N, 256]
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(bits.reshape(-1, 8, 32) * weights, axis=2, dtype=jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# full extractor
+# ---------------------------------------------------------------------------
+
+class Features(NamedTuple):
+    """Padded per-frame feature set (level-0 pixel coordinates)."""
+
+    kp: jnp.ndarray       # [F, 2] float32 (x, y) in level-0 coords
+    desc: jnp.ndarray     # [F, 8] uint32
+    octave: jnp.ndarray   # [F] int32
+    angle: jnp.ndarray    # [F] float32 radians
+    response: jnp.ndarray  # [F] float32
+    valid: jnp.ndarray    # [F] bool
+
+
+def per_level_counts(n_features: int, n_levels: int, scale_factor: float):
+    """Geometric feature budget per level (ORBextractor ctor semantics)."""
+    factor = 1.0 / scale_factor
+    base = n_features * (1 - factor) / (1 - factor ** n_levels)
+    counts = [int(round(base * factor ** l)) for l in range(n_levels - 1)]
+    counts.append(max(n_features - sum(counts), 8))
+    return counts
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_features", "n_levels", "scale_factor", "threshold", "min_threshold",
+        "border", "cell",
+    ),
+)
+def extract_orb(
+    img: jnp.ndarray,
+    n_features: int = 1024,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
+    threshold: float = 20.0,
+    min_threshold: float = 7.0,
+    border: int = 19,
+    cell: int = 16,
+) -> Features:
+    """Full ORB front end for one grayscale image [H, W] float32 (0..255)."""
+    levels = image_ops.build_pyramid(img, n_levels, scale_factor)
+    counts = per_level_counts(n_features, n_levels, scale_factor)
+
+    kp_all, desc_all, oct_all, ang_all, resp_all, val_all = [], [], [], [], [], []
+    for l, lvl in enumerate(levels):
+        n_l = counts[l]
+        score = nms3x3(fast_score(lvl))
+        yx, resp, valid = select_keypoints(
+            score, n_l, threshold, min_threshold, border, cell
+        )
+        ang = ic_angles(lvl, yx)
+        blur = image_ops.gaussian_blur(lvl)
+        desc = brief_descriptors(blur, yx, ang)
+        scale = scale_factor ** l
+        kp = jnp.stack([yx[:, 1].astype(jnp.float32), yx[:, 0].astype(jnp.float32)], -1) * scale
+        kp_all.append(kp)
+        desc_all.append(desc)
+        oct_all.append(jnp.full((n_l,), l, jnp.int32))
+        ang_all.append(ang)
+        resp_all.append(resp)
+        val_all.append(valid)
+
+    return Features(
+        kp=jnp.concatenate(kp_all),
+        desc=jnp.concatenate(desc_all),
+        octave=jnp.concatenate(oct_all),
+        angle=jnp.concatenate(ang_all),
+        response=jnp.concatenate(resp_all),
+        valid=jnp.concatenate(val_all),
+    )
+
+
+def scale_sigma2(n_levels: int = 8, scale_factor: float = 1.2) -> jnp.ndarray:
+    """Per-octave sigma^2 = (scale^l)^2, as used by every chi2 gate in the
+    reference optimizer (mvLevelSigma2)."""
+    return jnp.asarray([(scale_factor ** l) ** 2 for l in range(n_levels)], jnp.float32)
