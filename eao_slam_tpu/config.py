@@ -132,6 +132,8 @@ class MappingConfig:
     local_ba_kf_window: int = 16
     local_ba_iters_first: int = 5
     local_ba_iters_second: int = 10
+    triangulation_neighbors: int = 3  # ref uses 20 covisible KFs for mono (src/LocalMapping.cc:218)
+    min_covis_weight: int = 10
     pose_lm_rounds: int = 4
     pose_lm_iters: int = 10
     chi2_mono: float = 5.991
@@ -169,6 +171,7 @@ class CapacityConfig:
     grid_cols: int = 64
     grid_rows: int = 48
     grid_bucket: int = 16             # max features per grid cell bucket
+    local_ba_points: int = 4096       # compact point capacity of the BA window
 
 
 @dataclasses.dataclass(frozen=True)

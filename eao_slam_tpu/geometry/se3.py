@@ -88,6 +88,25 @@ def log(T: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([rho, omega], axis=-1)
 
 
+def orthonormalize(T: jnp.ndarray) -> jnp.ndarray:
+    """Project the rotation block onto SO(3) (closest rotation by SVD).
+
+    float32 exp/compose chains inside LM loops accumulate non-orthonormal
+    drift; worse, an optimizer that is allowed to keep a shrunken R gains a
+    spurious zoom DOF that *reduces* reprojection cost, so solvers must
+    re-project after every pose update.
+    """
+    R = rot(T)
+    U, _, Vt = jnp.linalg.svd(R)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.concatenate(
+        [jnp.ones_like(det)[..., None], jnp.ones_like(det)[..., None], det[..., None]],
+        axis=-1,
+    )
+    Rn = U @ (D[..., :, None] * Vt)
+    return make(Rn, trans(T))
+
+
 def to_quat_trans(T: jnp.ndarray):
     """-> ((..., 4) wxyz quaternion, (..., 3) translation). TUM export order."""
     return so3.mat_to_quat(rot(T)), trans(T)

@@ -1,0 +1,540 @@
+"""Monocular SLAM runtime: host orchestrator over jitted device steps.
+
+Replaces the reference's Tracking + LocalMapping thread pair
+(src/Tracking.cc:562-804 state machine, src/LocalMapping.cc:42-117) with a
+single-threaded host loop dispatching fixed-shape jitted programs
+(SURVEY.md §7.1 "Pipeline"): per frame one-or-two matching+pose programs;
+per keyframe triangulation/fusion/windowed-BA programs. All map state lives
+in the SoA MapState pytree on device; the host only makes scalar decisions
+(state machine, keyframe policy) and allocates slots.
+
+Interleaving is explicit — mapping runs between frames instead of racing
+tracking behind a mutex (Map::mMutexMapUpdate, src/Tracking.cc:572) — which
+makes the system deterministic for a fixed seed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eao_slam_tpu.config import SystemConfig
+from eao_slam_tpu.geometry import se3
+from eao_slam_tpu.ops.orb import scale_sigma2
+from eao_slam_tpu.runtime import tracking_kernels as tk
+from eao_slam_tpu.runtime.frame import Frame
+from eao_slam_tpu.runtime.local_mapping import (
+    fuse_into_keyframe,
+    run_local_ba,
+    triangulate_with_neighbor,
+)
+from eao_slam_tpu.runtime.map_state import MapState, empty_map_state
+from eao_slam_tpu.solvers.init2view import initialize_two_view
+
+# --- tracking states (Tracking::eTrackingState, include/Tracking.h)
+NO_IMAGES = 0
+NOT_INITIALIZED = 1
+OK = 2
+LOST = 3
+
+
+def np_compose(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    R = A[:3, :3] @ B[:3, :3]
+    t = A[:3, :3] @ B[:3, 3] + A[:3, 3]
+    return np.concatenate([R, t[:, None]], axis=1)
+
+
+def np_inverse(T: np.ndarray) -> np.ndarray:
+    Rt = T[:3, :3].T
+    return np.concatenate([Rt, (-Rt @ T[:3, 3])[:, None]], axis=1)
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    timestamp: float
+    T_cw: Optional[np.ndarray]  # None while not tracked
+    state: int
+    n_inliers: int = 0
+
+
+class MonoTracker:
+    """End-to-end monocular tracker + local mapper (milestone M1 slice)."""
+
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        self.cam = cfg.camera
+        cap = cfg.capacity
+        self.map: MapState = empty_map_state(cap)
+        self.scale2 = scale_sigma2(cfg.orb.n_levels, cfg.orb.scale_factor)
+        self.scale2_np = np.asarray(self.scale2)
+        self.scale_factors = np.sqrt(self.scale2_np)
+
+        self.state = NO_IMAGES
+        self.rng_key = jax.random.PRNGKey(cfg.seed)
+
+        # host mirrors (avoid device pulls on the per-frame path)
+        self.kf_slots: List[int] = []          # insertion order
+        self.kf_pt_host = np.full((cap.max_keyframes, cap.max_features), -1, np.int32)
+        self.kf_valid_host = np.zeros((cap.max_keyframes,), bool)
+        self.pt_valid_host = np.zeros((cap.max_points,), bool)
+        self.pt_first_kf_host = np.full((cap.max_points,), -1, np.int32)
+        self.n_points = 0
+
+        # per-frame transient state
+        self.last_frame: Optional[Frame] = None
+        self.last_T: Optional[np.ndarray] = None
+        self.last_pt: Optional[jnp.ndarray] = None
+        self.velocity: Optional[np.ndarray] = None
+        self.frames_since_kf = 0
+        self.ref_kf_tracked = 0
+        self.peak_since_kf = 0   # best inlier count since the last KF — the
+        # keyframe trigger baseline (more robust than the insertion-time
+        # count, which underestimates right after BA settles)
+        self.frame_id = 0
+
+        self.init_ref: Optional[Frame] = None
+        self.init_ref_t: float = 0.0
+        self.records: List[FrameRecord] = []
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def track(self, frame: Frame, timestamp: float) -> Optional[np.ndarray]:
+        """Process one frame; returns the camera-from-world pose [3, 4] or
+        None if tracking failed (System::TrackMonocular contract)."""
+        self.frame_id += 1
+        if self.state in (NO_IMAGES, NOT_INITIALIZED):
+            T = self._initialize(frame, timestamp)
+        elif self.state == OK:
+            T = self._track_frame(frame, timestamp)
+        else:  # LOST
+            T = self._relocalize(frame, timestamp)
+        self.records.append(
+            FrameRecord(timestamp, None if T is None else T.copy(), self.state,
+                        self.ref_kf_tracked if T is not None else 0)
+        )
+        return T
+
+    def keyframe_trajectory(self):
+        """(timestamps, T_cw [N, 3, 4]) of surviving keyframes
+        (System::SaveKeyFrameTrajectoryTUM, src/System.cc:387-421)."""
+        slots = [s for s in self.kf_slots if self.kf_valid_host[s]]
+        ts = np.asarray(self.map.kf_timestamp)[slots]
+        Ts = np.asarray(self.map.kf_pose)[slots]
+        return ts, Ts
+
+    def frame_trajectory(self):
+        recs = [r for r in self.records if r.T_cw is not None]
+        ts = np.array([r.timestamp for r in recs])
+        Ts = np.stack([r.T_cw for r in recs]) if recs else np.zeros((0, 3, 4))
+        return ts, Ts
+
+    # ------------------------------------------------------------------
+    # initialization (MonocularInitialization, src/Tracking.cc:806-939)
+    # ------------------------------------------------------------------
+
+    def _initialize(self, frame: Frame, timestamp: float) -> Optional[np.ndarray]:
+        n_feats = int(jnp.sum(frame.valid))
+        if self.init_ref is None or n_feats < self.cfg.tracking.min_init_matches:
+            if n_feats >= self.cfg.tracking.min_init_matches:
+                self.init_ref, self.init_ref_t = frame, timestamp
+                self.state = NOT_INITIALIZED
+            return None
+
+        ref = self.init_ref
+        idx, d, ok = tk.match_for_init(
+            ref.kp, ref.desc, ref.angle, ref.valid,
+            frame.kp, frame.desc, frame.angle, frame.valid,
+        )
+        n_matches = int(jnp.sum(ok))
+        if n_matches < self.cfg.tracking.min_init_matches:
+            self.init_ref, self.init_ref_t = frame, timestamp
+            return None
+
+        self.rng_key, sub = jax.random.split(self.rng_key)
+        res = initialize_two_view(
+            self.cam, ref.kp, frame.kp[idx], ok, sub,
+            min_triangulated=self.cfg.tracking.min_init_matches // 2,
+        )
+        if not bool(res.success):
+            return None
+        return self._create_initial_map(ref, frame, timestamp, idx, res)
+
+    def _create_initial_map(self, ref: Frame, frame: Frame, timestamp, idx, res):
+        """CreateInitialMapMonocular (src/Tracking.cc:941-1069): two KFs,
+        triangulated points, GBA, median-depth scale normalization."""
+        good = np.asarray(res.point_ok)
+        pts = np.asarray(res.points)
+        T21 = np.asarray(res.T21)
+
+        depths = pts[good][:, 2]
+        med = float(np.median(depths)) if len(depths) else 1.0
+        if med <= 0:
+            return None
+        pts = pts / med
+        T21 = np.concatenate([T21[:, :3], T21[:, 3:] / med], axis=1)
+
+        rows = np.nonzero(good)[0]
+        n_new = len(rows)
+        cap = self.cfg.capacity
+        if n_new > cap.max_points:
+            rows = rows[: cap.max_points]
+            n_new = len(rows)
+        slots = np.arange(n_new, dtype=np.int32)
+
+        idx_np = np.asarray(idx)
+        T1 = np.asarray(se3.identity())
+
+        # point attributes from the reference view (MapPoint ctor +
+        # UpdateNormalAndDepth semantics)
+        oct1 = np.asarray(ref.octave)[rows]
+        X = pts[rows]
+        dist = np.linalg.norm(X, axis=1)
+        max_d = dist * self.scale_factors[np.clip(oct1, 0, len(self.scale_factors) - 1)]
+        min_d = max_d / self.scale_factors[-1]
+        normal = X / np.maximum(dist, 1e-9)[:, None]
+
+        m = self.map
+        m = m._replace(
+            pt_pos=m.pt_pos.at[slots].set(jnp.asarray(X, jnp.float32)),
+            pt_valid=m.pt_valid.at[slots].set(True),
+            pt_desc=m.pt_desc.at[slots].set(ref.desc[jnp.asarray(rows)]),
+            pt_normal=m.pt_normal.at[slots].set(jnp.asarray(normal, jnp.float32)),
+            pt_min_dist=m.pt_min_dist.at[slots].set(jnp.asarray(min_d, jnp.float32)),
+            pt_max_dist=m.pt_max_dist.at[slots].set(jnp.asarray(max_d, jnp.float32)),
+            pt_first_kf=m.pt_first_kf.at[slots].set(0),
+        )
+        self.map = m
+        self.pt_valid_host[slots] = True
+        self.pt_first_kf_host[slots] = 0
+        self.n_points = n_new
+
+        F = cap.max_features
+        pt1 = np.full((F,), -1, np.int32)
+        pt1[rows] = slots
+        pt2 = np.full((F,), -1, np.int32)
+        pt2[idx_np[rows]] = slots
+
+        self._insert_keyframe(ref, self.init_ref_t, T1, pt1)
+        self._insert_keyframe(frame, timestamp, T21, pt2)
+
+        ba = run_local_ba(
+            self.cam, self.map, self.kf_slots[-2:], [self.kf_slots[-2]],
+            self.scale2_np, self.cfg.capacity.local_ba_points,
+        )
+        self._apply_ba(ba)
+
+        T_final = np.asarray(self.map.kf_pose)[self.kf_slots[-1]]
+        self.state = OK
+        self.last_frame = frame
+        self.last_T = T_final
+        self.last_pt = jnp.asarray(
+            np.where(self.kf_pt_host[self.kf_slots[-1]] >= 0,
+                     self.kf_pt_host[self.kf_slots[-1]], -1)
+        )
+        self.velocity = None
+        self.frames_since_kf = 0
+        self.ref_kf_tracked = int((pt2 >= 0).sum())
+        return T_final
+
+    # ------------------------------------------------------------------
+    # per-frame tracking (Tracking::Track, src/Tracking.cc:562-804)
+    # ------------------------------------------------------------------
+
+    def _track_frame(self, frame: Frame, timestamp: float) -> Optional[np.ndarray]:
+        cfg = self.cfg
+        T_pred = (
+            np_compose(self.velocity, self.last_T)
+            if self.velocity is not None
+            else self.last_T
+        )
+
+        r = tk.track_motion_model(
+            self.cam, self.map.pt_pos, self.map.pt_valid,
+            jnp.asarray(T_pred, jnp.float32),
+            self.last_frame.kp, self.last_frame.desc, self.last_frame.octave,
+            self.last_frame.angle, self.last_frame.valid, self.last_pt,
+            frame.kp, frame.desc, frame.octave, frame.angle, frame.valid,
+            self.scale2,
+            radius=cfg.matcher.search_radius_motion,
+        )
+        n = int(r.n_inliers)
+
+        if n < cfg.tracking.min_inliers_after_pose:
+            # fall back to reference keyframe (TrackReferenceKeyFrame)
+            ref_slot = self.kf_slots[-1]
+            r = tk.track_reference_kf(
+                self.cam, self.map.pt_pos, self.map.pt_valid,
+                jnp.asarray(self.last_T, jnp.float32),
+                self.map.kf_desc[ref_slot], self.map.kf_kp_valid[ref_slot],
+                self.map.kf_pt_idx[ref_slot],
+                frame.kp, frame.desc, frame.octave, frame.valid, self.scale2,
+            )
+            n = int(r.n_inliers)
+            if n < cfg.tracking.min_inliers_after_pose:
+                self.state = LOST
+                return None
+
+        # TrackLocalMap: widen matches against the full map, re-optimize
+        r2 = tk.track_local_map_step(
+            self.cam,
+            self.map.pt_pos, self.map.pt_valid, self.map.pt_desc,
+            self.map.pt_normal, self.map.pt_min_dist, self.map.pt_max_dist,
+            r.T, r.cur_pt,
+            frame.kp, frame.desc, frame.octave, frame.valid,
+            self.scale2, n_levels=cfg.orb.n_levels,
+        )
+        n2 = int(r2.n_inliers)
+        if n2 < cfg.tracking.min_tracked_for_ok:
+            self.state = LOST
+            return None
+
+        T = np.asarray(r2.T)
+        self.velocity = np_compose(T, np_inverse(self.last_T))
+        self.frames_since_kf += 1
+        self.peak_since_kf = max(self.peak_since_kf, n2)
+
+        if self._need_new_keyframe(frame, n2):
+            cur_pt = np.asarray(r2.cur_pt)
+            self._insert_keyframe(frame, timestamp, T, cur_pt)
+            self._local_mapping()
+            T = np.asarray(self.map.kf_pose)[self.kf_slots[-1]]
+            self.frames_since_kf = 0
+            self.ref_kf_tracked = n2
+            self.peak_since_kf = n2
+            self.last_pt = jnp.asarray(self.kf_pt_host[self.kf_slots[-1]])
+            # velocity across the BA pose correction would be inconsistent;
+            # rebase it on the post-BA pose
+            self.velocity = None
+        else:
+            self.last_pt = r2.cur_pt
+
+        self.last_frame = frame
+        self.last_T = T
+        return T
+
+    def _relocalize(self, frame: Frame, timestamp: float) -> Optional[np.ndarray]:
+        """Minimal relocalization: brute-match against recent keyframes
+        (Tracking::Relocalization, src/Tracking.cc:2184 — BoW candidates +
+        EPnP replaced for now by exact NN + LM from the KF pose; EPnP RANSAC
+        lands with the solvers milestone)."""
+        for slot in reversed(self.kf_slots[-5:]):
+            if not self.kf_valid_host[slot]:
+                continue
+            T0 = np.asarray(self.map.kf_pose)[slot]
+            r = tk.track_reference_kf(
+                self.cam, self.map.pt_pos, self.map.pt_valid,
+                jnp.asarray(T0, jnp.float32),
+                self.map.kf_desc[slot], self.map.kf_kp_valid[slot],
+                self.map.kf_pt_idx[slot],
+                frame.kp, frame.desc, frame.octave, frame.valid, self.scale2,
+            )
+            if int(r.n_inliers) >= self.cfg.tracking.min_matches_ref_kf:
+                r2 = tk.track_local_map_step(
+                    self.cam,
+                    self.map.pt_pos, self.map.pt_valid, self.map.pt_desc,
+                    self.map.pt_normal, self.map.pt_min_dist, self.map.pt_max_dist,
+                    r.T, r.cur_pt,
+                    frame.kp, frame.desc, frame.octave, frame.valid,
+                    self.scale2, n_levels=self.cfg.orb.n_levels,
+                )
+                if int(r2.n_inliers) >= self.cfg.tracking.min_tracked_for_ok:
+                    self.state = OK
+                    self.last_frame = frame
+                    self.last_T = np.asarray(r2.T)
+                    self.last_pt = r2.cur_pt
+                    self.velocity = None
+                    return self.last_T
+        return None
+
+    def _need_new_keyframe(self, frame: Frame, n_tracked: int) -> bool:
+        """Mono keyframe policy (Tracking::NeedNewKeyFrame,
+        src/Tracking.cc:1777-1900; the object-driven path 2 arrives with the
+        EAO layer)."""
+        cfg = self.cfg.tracking
+        if len(self.kf_slots) == 0:
+            return False
+        c1 = self.frames_since_kf >= cfg.max_frames_between_kf
+        base = max(self.ref_kf_tracked, self.peak_since_kf, 1)
+        c2 = n_tracked < cfg.kf_tracked_ratio * base
+        return (c1 or c2) and n_tracked > cfg.min_matches_ref_kf
+
+    # ------------------------------------------------------------------
+    # keyframe insertion + local mapping
+    # ------------------------------------------------------------------
+
+    def _free_kf_slot(self) -> int:
+        free = np.nonzero(~self.kf_valid_host)[0]
+        if len(free) == 0:
+            raise RuntimeError("keyframe capacity exhausted")
+        return int(free[0])
+
+    def _insert_keyframe(self, frame: Frame, timestamp: float, T: np.ndarray,
+                         cur_pt: np.ndarray, by_object: bool = False) -> int:
+        slot = self._free_kf_slot()
+        m = self.map
+        s = slot
+        m = m._replace(
+            kf_pose=m.kf_pose.at[s].set(jnp.asarray(T, jnp.float32)),
+            kf_valid=m.kf_valid.at[s].set(True),
+            kf_timestamp=m.kf_timestamp.at[s].set(float(timestamp)),
+            kf_frame_id=m.kf_frame_id.at[s].set(self.frame_id),
+            kf_kp=m.kf_kp.at[s].set(frame.kp),
+            kf_desc=m.kf_desc.at[s].set(frame.desc),
+            kf_octave=m.kf_octave.at[s].set(frame.octave),
+            kf_angle=m.kf_angle.at[s].set(frame.angle),
+            kf_kp_valid=m.kf_kp_valid.at[s].set(frame.valid),
+            kf_pt_idx=m.kf_pt_idx.at[s].set(jnp.asarray(cur_pt, jnp.int32)),
+            kf_by_object=m.kf_by_object.at[s].set(by_object),
+        )
+        self.map = m
+        self.kf_valid_host[slot] = True
+        self.kf_pt_host[slot] = np.asarray(cur_pt)
+        self.kf_slots.append(slot)
+        return slot
+
+    def _covisible_neighbors(self, slot: int, k: int, min_weight: int = 10):
+        """Top-k covisible keyframes by shared map points (host mirror of
+        KeyFrame::UpdateConnections)."""
+        cur = self.kf_pt_host[slot]
+        cur_set = cur[cur >= 0]
+        out = []
+        for s in self.kf_slots:
+            if s == slot or not self.kf_valid_host[s]:
+                continue
+            other = self.kf_pt_host[s]
+            w = int(np.isin(cur_set, other[other >= 0]).sum())
+            if w >= min_weight:
+                out.append((w, s))
+        out.sort(reverse=True)
+        return [s for _, s in out[:k]]
+
+    def _local_mapping(self):
+        """Per-keyframe mapping pass: triangulate new points with covisible
+        neighbors, fuse, windowed BA, light point culling."""
+        cfg = self.cfg
+        slot = self.kf_slots[-1]
+        neighbors = self._covisible_neighbors(
+            slot, cfg.mapping.triangulation_neighbors, cfg.mapping.min_covis_weight
+        )
+        for nb in neighbors:
+            self._triangulate_new_points(slot, nb)
+
+        # fuse existing map points into the new KF's unmatched features
+        fused = fuse_into_keyframe(
+            self.cam,
+            self.map.pt_pos, self.map.pt_valid, self.map.pt_desc,
+            self.map.pt_min_dist, self.map.pt_max_dist,
+            self.map.kf_pose[slot],
+            self.map.kf_kp[slot], self.map.kf_desc[slot],
+            self.map.kf_octave[slot], self.map.kf_kp_valid[slot],
+            self.map.kf_pt_idx[slot],
+            self.scale2,
+        )
+        self.map = self.map._replace(kf_pt_idx=self.map.kf_pt_idx.at[slot].set(fused))
+        self.kf_pt_host[slot] = np.asarray(fused)
+
+        # windowed BA over the most recent keyframes
+        W = min(len(self.kf_slots), cfg.mapping.local_ba_kf_window)
+        window = self.kf_slots[-W:]
+        fixed = [window[0]]
+        if self.kf_slots[0] in window:
+            fixed.append(self.kf_slots[0])
+        ba = run_local_ba(
+            self.cam, self.map, window, fixed, self.scale2_np,
+            cfg.capacity.local_ba_points,
+        )
+        self._apply_ba(ba)
+        self._cull_points()
+
+    def _triangulate_new_points(self, slot: int, nb: int):
+        tri = triangulate_with_neighbor(
+            self.cam,
+            self.map.kf_pose[slot],
+            self.map.kf_kp[slot], self.map.kf_desc[slot], self.map.kf_octave[slot],
+            self.map.kf_kp_valid[slot], self.map.kf_pt_idx[slot],
+            self.map.kf_pose[nb],
+            self.map.kf_kp[nb], self.map.kf_desc[nb], self.map.kf_octave[nb],
+            self.map.kf_kp_valid[nb], self.map.kf_pt_idx[nb],
+            self.scale2,
+        )
+        good = np.asarray(tri.good)
+        rows = np.nonzero(good)[0]
+        if len(rows) == 0:
+            return
+        free = np.nonzero(~self.pt_valid_host)[0]
+        n_new = min(len(rows), len(free))
+        rows = rows[:n_new]
+        slots = free[:n_new].astype(np.int32)
+
+        X = np.asarray(tri.points)[rows]
+        idx2 = np.asarray(tri.idx2)[rows]
+        oct1 = np.asarray(self.map.kf_octave[slot])[rows]
+        T1 = np.asarray(self.map.kf_pose[slot])
+        O1 = -T1[:3, :3].T @ T1[:3, 3]
+        dist = np.linalg.norm(X - O1[None, :], axis=1)
+        max_d = dist * self.scale_factors[np.clip(oct1, 0, len(self.scale_factors) - 1)]
+        min_d = max_d / self.scale_factors[-1]
+        normal = (X - O1[None, :]) / np.maximum(dist, 1e-9)[:, None]
+
+        m = self.map
+        js = jnp.asarray(slots)
+        m = m._replace(
+            pt_pos=m.pt_pos.at[js].set(jnp.asarray(X, jnp.float32)),
+            pt_valid=m.pt_valid.at[js].set(True),
+            pt_desc=m.pt_desc.at[js].set(m.kf_desc[slot][jnp.asarray(rows)]),
+            pt_normal=m.pt_normal.at[js].set(jnp.asarray(normal, jnp.float32)),
+            pt_min_dist=m.pt_min_dist.at[js].set(jnp.asarray(min_d, jnp.float32)),
+            pt_max_dist=m.pt_max_dist.at[js].set(jnp.asarray(max_d, jnp.float32)),
+            pt_first_kf=m.pt_first_kf.at[js].set(slot),
+            kf_pt_idx=m.kf_pt_idx.at[slot, jnp.asarray(rows)].set(js)
+            .at[nb, jnp.asarray(idx2)].set(js),
+        )
+        self.map = m
+        self.pt_valid_host[slots] = True
+        self.pt_first_kf_host[slots] = slot
+        self.kf_pt_host[slot, rows] = slots
+        self.kf_pt_host[nb, idx2] = slots
+        self.n_points += n_new
+
+    def _apply_ba(self, ba):
+        m = self.map
+        ws = jnp.asarray(ba.kf_slots)
+        m = m._replace(kf_pose=m.kf_pose.at[ws].set(jnp.asarray(ba.poses)))
+        keep = ba.pt_slots >= 0
+        ps = jnp.asarray(ba.pt_slots[keep])
+        m = m._replace(pt_pos=m.pt_pos.at[ps].set(jnp.asarray(ba.points[keep])))
+        # drop outlier observations (the reference erases the edge's
+        # observation pair after the second LocalBA pass)
+        drop = ba.drop_obs
+        if drop.any():
+            new_pt = self.kf_pt_host[ba.kf_slots]
+            new_pt[drop] = -1
+            self.kf_pt_host[ba.kf_slots] = new_pt
+            m = m._replace(kf_pt_idx=m.kf_pt_idx.at[ws].set(jnp.asarray(new_pt)))
+        self.map = m
+
+    def _cull_points(self):
+        """Light MapPointCulling (src/LocalMapping.cc:175): drop points whose
+        observations fell below 2 keyframes after their creation window."""
+        obs = np.zeros((self.cfg.capacity.max_points,), np.int32)
+        valid_rows = self.kf_pt_host[self.kf_valid_host]
+        flat = valid_rows[valid_rows >= 0]
+        np.add.at(obs, flat, 1)
+        recent_kf = self.kf_slots[-1] if self.kf_slots else 0
+        stale = (
+            self.pt_valid_host
+            & (obs < 2)
+            & (self.pt_first_kf_host != recent_kf)
+        )
+        if stale.any():
+            idx = np.nonzero(stale)[0]
+            self.map = self.map._replace(
+                pt_valid=self.map.pt_valid.at[jnp.asarray(idx)].set(False)
+            )
+            self.pt_valid_host[idx] = False

@@ -170,7 +170,13 @@ def bundle_adjust(cam: Camera, prob: BAProblem, iters: int = 10, lam0: float = 1
         poses, points, lam = carry
         Hcc, Hpp, Wcp, bc, bp, cost = _lm_system(cam, prob, poses, points)
         dc, dp = _solve_lm_step(prob, Hcc, Hpp, Wcp, bc, bp, lam)
-        new_poses = jax.vmap(lambda d, T: se3.compose(se3.exp(d), T))(dc, poses)
+        # trust region on the twist: a huge step would push se3.exp outside
+        # its float32-accurate range and R off SO(3)
+        dc_norm = jnp.linalg.norm(dc, axis=-1, keepdims=True)
+        dc = dc * jnp.minimum(1.0, 1.0 / jnp.maximum(dc_norm, 1e-12))
+        new_poses = jax.vmap(
+            lambda d, T: se3.orthonormalize(se3.compose(se3.exp(d), T))
+        )(dc, poses)
         new_points = points + dp
         new_cost = _cost_only(cam, prob, new_poses, new_points)
         finite = (

@@ -105,7 +105,10 @@ def optimize_pose(
 
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
             delta = -jnp.linalg.solve(Hd, b)
-            T_new = se3.compose(se3.exp(delta), T)
+            # trust region + SO(3) re-projection (see se3.orthonormalize)
+            dn = jnp.linalg.norm(delta)
+            delta = delta * jnp.minimum(1.0, 1.0 / jnp.maximum(dn, 1e-12))
+            T_new = se3.orthonormalize(se3.compose(se3.exp(delta), T))
 
             r2, _, d2 = reproj_residual_jac(cam, T_new, Xw, uv)
             c2n = jnp.sum(r2 * r2, -1) * inv_sigma2
