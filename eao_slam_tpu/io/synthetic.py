@@ -102,13 +102,15 @@ def make_room_scene(
     quads.append(Quad(np.array([3.0, -2.0, 0.0]), np.array([0, 4.0, 0]),
                       np.array([0, 0, 6.0]), _smooth_texture(rng, 1024)))
 
-    # objects: cuboids resting on the floor
+    # objects: cuboids at table height (lifted off the floor so their
+    # boxes project inside the image instead of hugging the bottom edge)
     classes = np.array([56, 62, 73, 66, 41][:n_objects], np.int32)  # chair, tv, book, keyboard...
     centers, sizes = [], []
     xs = np.linspace(-1.6, 1.6, max(n_objects, 2))
     for j in range(n_objects):
         size = rng.uniform(0.4, 0.9, 3)
-        c = np.array([xs[j], 2.0 - size[1] / 2.0, rng.uniform(3.2, 4.8)])
+        lift = rng.uniform(0.5, 1.1)
+        c = np.array([xs[j], 2.0 - size[1] / 2.0 - lift, rng.uniform(3.2, 4.8)])
         centers.append(c)
         sizes.append(size)
         quads.extend(_cuboid_quads(rng, c, size))

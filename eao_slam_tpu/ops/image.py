@@ -30,22 +30,43 @@ def gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
+def shifted(img: jnp.ndarray, offsets, pad_value=None):
+    """Statically-shifted copies of a 2D image: for each (dy, dx) returns
+    img translated so out[y, x] = img[y + dy, x + dx] (edge padded).
+
+    This is THE fast sampling primitive on TPU: pad once + static slices
+    fuse into the consuming elementwise graph, where single-channel convs,
+    rolls and reduce_windows all hit slow paths (measured: 16 static slices
+    0.56 ms vs 3.3 ms rolls vs 18 ms one-hot conv at 480x640 on v5e).
+    """
+    H, W = img.shape
+    r_y = max(max(abs(dy) for dy, _ in offsets), 0)
+    r_x = max(max(abs(dx) for _, dx in offsets), 0)
+    if pad_value is None:
+        p = jnp.pad(img, ((r_y, r_y), (r_x, r_x)), mode="edge")
+    else:
+        p = jnp.pad(img, ((r_y, r_y), (r_x, r_x)), constant_values=pad_value)
+    return [
+        jax.lax.slice(p, (r_y + dy, r_x + dx), (r_y + dy + H, r_x + dx + W))
+        for dy, dx in offsets
+    ]
+
+
 def sep_conv2d(img: jnp.ndarray, k1d: jnp.ndarray) -> jnp.ndarray:
-    """Separable 2D convolution with replicate-edge padding. img: [H, W]."""
-    r = k1d.shape[0] // 2
-    x = img[None, None]  # NCHW
-    x = jnp.pad(x, ((0, 0), (0, 0), (r, r), (r, r)), mode="edge")
-    kh = k1d.reshape(1, 1, -1, 1)
-    kw = k1d.reshape(1, 1, 1, -1)
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
-    return x[0, 0]
+    """Separable 2D convolution with replicate-edge padding, expressed as
+    shift-and-add (fuses on TPU; see `shifted`). img: [H, W]."""
+    k = np.asarray(k1d)
+    r = len(k) // 2
+    rows = shifted(img, [(dy, 0) for dy in range(-r, r + 1)])
+    acc = sum(float(k[i]) * rows[i] for i in range(len(k)))
+    cols = shifted(acc, [(0, dx) for dx in range(-r, r + 1)])
+    return sum(float(k[i]) * cols[i] for i in range(len(k)))
 
 
 def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.ndarray:
     """7x7 sigma-2 blur like the pre-descriptor blur in the reference
     (src/ORBextractor.cc: GaussianBlur(..., Size(7,7), 2, 2))."""
-    return sep_conv2d(img, jnp.asarray(gaussian_kernel1d(sigma, radius)))
+    return sep_conv2d(img, gaussian_kernel1d(sigma, radius))
 
 
 def resize_bilinear(img: jnp.ndarray, out_hw) -> jnp.ndarray:
@@ -67,10 +88,13 @@ def build_pyramid(img: jnp.ndarray, n_levels: int = 8, scale_factor: float = 1.2
 def sobel_gradients(img: jnp.ndarray):
     """(gx, gy, magnitude) via 3x3 Sobel — feeds the semi-dense edge mask
     (stand-in for EdgeDrawing chains, SURVEY.md §2.2 EDTest row)."""
-    kx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
-    ky = kx.T
-    x = jnp.pad(img[None, None], ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
-    gx = jax.lax.conv_general_dilated(x, kx[None, None], (1, 1), "VALID")[0, 0]
-    gy = jax.lax.conv_general_dilated(x, ky[None, None], (1, 1), "VALID")[0, 0]
+    offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    s = dict(zip(offs, shifted(img, offs)))
+    gx = (s[(-1, 1)] + 2 * s[(0, 1)] + s[(1, 1)]) - (
+        s[(-1, -1)] + 2 * s[(0, -1)] + s[(1, -1)]
+    )
+    gy = (s[(1, -1)] + 2 * s[(1, 0)] + s[(1, 1)]) - (
+        s[(-1, -1)] + 2 * s[(-1, 0)] + s[(-1, 1)]
+    )
     mag = jnp.sqrt(gx * gx + gy * gy)
     return gx, gy, mag

@@ -20,6 +20,7 @@ Everything below is shape-static and jit-compiles to one fused program.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -76,36 +77,102 @@ def fast_score(img: jnp.ndarray) -> jnp.ndarray:
     quantity cv::FAST's score computes per detected corner, but evaluated
     densely with rolled tensors (pure VPU work, no data-dependent loops).
     """
-    ring = jnp.stack(
-        [jnp.roll(img, (-dy, -dx), axis=(0, 1)) for dy, dx in _FAST_RING], axis=0
-    )  # [16, H, W]
-    diff_b = ring - img[None]   # bright: ring brighter than center
-    diff_d = -diff_b
+    # ring samples as statically-shifted images — 16 fused slices instead of
+    # a [16, H, W] stacked tensor whose leading-axis rolls hit TPU slow paths.
+    # Computed in int16: pixel values are small integers so the score is
+    # exact, and the narrower lanes run ~2.5x faster on the VPU.
+    im = jnp.round(img).astype(jnp.int16)
+    ring = image_ops.shifted(im, [(dy, dx) for dy, dx in _FAST_RING])
+    diff_b = [r - im for r in ring]    # bright: ring brighter than center
+    diff_d = [im - r for r in ring]
 
     def arc9_max_min(d):
-        # min over 9 consecutive ring positions (circular), then max over
-        # the 16 start positions; hierarchical mins: 9 = 8 + 1.
-        m = d
-        m = jnp.minimum(m, jnp.roll(d, -1, axis=0))          # runs of 2
-        m = jnp.minimum(m, jnp.roll(m, -2, axis=0))          # runs of 4
-        m = jnp.minimum(m, jnp.roll(m, -4, axis=0))          # runs of 8
-        m = jnp.minimum(m, jnp.roll(d, -8, axis=0))          # runs of 9
-        return jnp.max(m, axis=0)
+        # min over 9 consecutive ring positions (circular), then max over the
+        # 16 start positions; hierarchical runs (2, 4, 8, then +1) keep it at
+        # 64 fusable elementwise mins.
+        e2 = [jnp.minimum(d[i], d[(i + 1) % 16]) for i in range(16)]
+        e4 = [jnp.minimum(e2[i], e2[(i + 2) % 16]) for i in range(16)]
+        e8 = [jnp.minimum(e4[i], e4[(i + 4) % 16]) for i in range(16)]
+        e9 = [jnp.minimum(e8[i], d[(i + 8) % 16]) for i in range(16)]
+        out = e9[0]
+        for i in range(1, 16):
+            out = jnp.maximum(out, e9[i])
+        return out
 
-    return jnp.maximum(arc9_max_min(diff_b), arc9_max_min(diff_d))
+    s = jnp.maximum(arc9_max_min(diff_b), arc9_max_min(diff_d))
+    return s.astype(jnp.float32)
 
 
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
-    """Keep only 3x3-local maxima (cv::FAST nonmaxSuppression=true)."""
-    mx = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
-    )
+    """Keep only 3x3-local maxima (cv::FAST nonmaxSuppression=true).
+    Shifted-max formulation — fuses, unlike reduce_window on TPU."""
+    offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    neigh = image_ops.shifted(score, offs, pad_value=-np.inf)
+    mx = neigh[0]
+    for s in neigh[1:]:
+        mx = jnp.maximum(mx, s)
     return jnp.where(score >= mx, score, 0.0)
 
 
 # ---------------------------------------------------------------------------
 # per-tile keypoint selection (octree replacement)
 # ---------------------------------------------------------------------------
+
+def select_from_comb(comb: jnp.ndarray, n_out: int, threshold: float,
+                     min_threshold: float, cell: int):
+    """Spatially-uniform top-n selection from a packed (score << 20 | idx)
+    map (already NMS'd + border-masked). See select_keypoints."""
+    h, w = comb.shape
+    assert h * w < (1 << 20)
+    ph = (cell - h % cell) % cell
+    pw = (cell - w % cell) % cell
+    # pad with (0 << 20 | 0): zero score never survives min_threshold
+    sp = jnp.pad(comb, ((0, ph), (0, pw)))
+    H2, W2 = sp.shape
+    th, tw = H2 // cell, W2 // cell
+
+    # two contiguous reshape-maxes (no transpose) pick each tile's winner
+    m = sp.reshape(th, cell, W2).max(axis=1)
+    m = m.reshape(th, tw, cell).max(axis=2).reshape(th * tw)
+
+    tile_score = (m >> 20).astype(jnp.float32)
+    tile_pos = m & ((1 << 20) - 1)
+    # strong corners rank above weak-but-acceptable ones
+    rank = jnp.where(
+        tile_score >= threshold, tile_score + 1e4,
+        jnp.where(tile_score >= min_threshold, tile_score, -1.0),
+    )
+    k = min(n_out, th * tw)
+    top_rank, top_idx = jax.lax.top_k(rank, k)
+
+    pos = tile_pos[top_idx]
+    yx = jnp.stack([pos // w, pos % w], axis=-1).astype(jnp.int32)
+    resp = tile_score[top_idx]
+    valid = top_rank > 0.0
+    if k < n_out:
+        pad = n_out - k
+        yx = jnp.concatenate([yx, jnp.zeros((pad, 2), jnp.int32)])
+        resp = jnp.concatenate([resp, jnp.zeros((pad,), resp.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return yx, resp, valid
+
+
+def pack_comb(score: jnp.ndarray, border: int) -> jnp.ndarray:
+    """Pack an NMS'd score map into (score << 20 | linear index) int32.
+
+    Index-in-value argmax: FAST scores are integer-valued, so pure max
+    reductions recover both the winner and its position. TPU note: a real
+    argmax here makes XLA duplicate the whole fused FAST graph into the
+    (value, index) variadic reduce (~45 ms at VGA); the packed form stays a
+    fusable max."""
+    h, w = score.shape
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    inb = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    s = jnp.where(inb, score, 0.0)
+    idx = (ys * w + xs).astype(jnp.int32)
+    return (jnp.clip(s, 0, 1023).astype(jnp.int32) << 20) | idx
+
 
 def select_keypoints(score: jnp.ndarray, n_out: int, threshold: float,
                      min_threshold: float, border: int, cell: int):
@@ -119,40 +186,9 @@ def select_keypoints(score: jnp.ndarray, n_out: int, threshold: float,
 
     Returns (yx [n_out, 2] int32, resp [n_out], valid [n_out]).
     """
-    h, w = score.shape
-    # border + NMS-safety mask
-    ys = jnp.arange(h)[:, None]
-    xs = jnp.arange(w)[None, :]
-    inb = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
-    s = jnp.where(inb, score, 0.0)
-
-    ph = (cell - h % cell) % cell
-    pw = (cell - w % cell) % cell
-    sp = jnp.pad(s, ((0, ph), (0, pw)))
-    th, tw = sp.shape[0] // cell, sp.shape[1] // cell
-    tiles = sp.reshape(th, cell, tw, cell).transpose(0, 2, 1, 3).reshape(th * tw, cell * cell)
-
-    tile_best = jnp.argmax(tiles, axis=1)
-    tile_score = jnp.take_along_axis(tiles, tile_best[:, None], axis=1)[:, 0]
-    # strong corners rank above weak-but-acceptable ones
-    rank = jnp.where(
-        tile_score >= threshold, tile_score + 1e4,
-        jnp.where(tile_score >= min_threshold, tile_score, -1.0),
+    return select_from_comb(
+        pack_comb(score, border), n_out, threshold, min_threshold, cell
     )
-    k = min(n_out, th * tw)
-    top_rank, top_idx = jax.lax.top_k(rank, k)
-
-    tile_y = (top_idx // tw) * cell + tile_best[top_idx] // cell
-    tile_x = (top_idx % tw) * cell + tile_best[top_idx] % cell
-    yx = jnp.stack([tile_y, tile_x], axis=-1).astype(jnp.int32)
-    resp = tile_score[top_idx]
-    valid = top_rank > 0.0
-    if k < n_out:
-        pad = n_out - k
-        yx = jnp.concatenate([yx, jnp.zeros((pad, 2), jnp.int32)])
-        resp = jnp.concatenate([resp, jnp.zeros((pad,), resp.dtype)])
-        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
-    return yx, resp, valid
 
 
 # ---------------------------------------------------------------------------
@@ -269,13 +305,28 @@ def extract_orb(
     levels = image_ops.build_pyramid(img, n_levels, scale_factor)
     counts = per_level_counts(n_features, n_levels, scale_factor)
 
+    # The Pallas FAST kernel is opt-in: on real TPUs it pins the dense stage
+    # into one VMEM pass, but tunneled/emulated devices (axon) stall when
+    # compiling Mosaic kernels, so the portable XLA path is the default.
+    use_pallas = (
+        jax.default_backend() == "tpu" and os.environ.get("EAO_PALLAS") == "1"
+    )
+    if use_pallas:
+        from eao_slam_tpu.ops.fast_pallas import fast_nms_comb
+
     kp_all, desc_all, oct_all, ang_all, resp_all, val_all = [], [], [], [], [], []
     for l, lvl in enumerate(levels):
         n_l = counts[l]
-        score = nms3x3(fast_score(lvl))
-        yx, resp, valid = select_keypoints(
-            score, n_l, threshold, min_threshold, border, cell
-        )
+        if use_pallas:
+            comb = fast_nms_comb(lvl, border=border)
+            yx, resp, valid = select_from_comb(
+                comb, n_l, threshold, min_threshold, cell
+            )
+        else:
+            score = nms3x3(fast_score(lvl))
+            yx, resp, valid = select_keypoints(
+                score, n_l, threshold, min_threshold, border, cell
+            )
         ang = ic_angles(lvl, yx)
         blur = image_ops.gaussian_blur(lvl)
         desc = brief_descriptors(blur, yx, ang)

@@ -49,6 +49,8 @@ class MapState(NamedTuple):
     pt_obs: jnp.ndarray        # [P] i32 — number of observing keyframes
     # --- EAO per-point object fields (include/MapPoint.h:82-91)
     pt_object_id: jnp.ndarray  # [P] i32 (-1 = background)
+    pt_obj_votes: jnp.ndarray  # [P] i32 — observation votes for pt_object_id
+    # (compressed MapPoint::object_id_vector: votes for the current owner)
 
     @property
     def max_keyframes(self) -> int:
@@ -88,6 +90,7 @@ def empty_map_state(cap: CapacityConfig) -> MapState:
         pt_first_kf=jnp.full((P,), -1, jnp.int32),
         pt_obs=jnp.zeros((P,), jnp.int32),
         pt_object_id=jnp.full((P,), -1, jnp.int32),
+        pt_obj_votes=jnp.zeros((P,), jnp.int32),
     )
 
 

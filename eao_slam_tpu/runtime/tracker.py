@@ -100,6 +100,18 @@ class MonoTracker:
         self.init_ref_t: float = 0.0
         self.records: List[FrameRecord] = []
 
+        # --- EAO object layer (lazy import keeps the core slice light)
+        self.obj_table = None
+        self.obj_updater = None
+        if cfg.flag.objects_enabled:
+            from eao_slam_tpu.objects import ObjectUpdater, empty_object_table
+
+            self.obj_table = empty_object_table(
+                cfg.capacity.max_objects, cfg.objects.yaw_samples
+            )
+            self.obj_updater = ObjectUpdater(cfg)
+        self._appear_new_object = False
+
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
@@ -299,9 +311,21 @@ class MonoTracker:
         self.frames_since_kf += 1
         self.peak_since_kf = max(self.peak_since_kf, n2)
 
+        # --- EAO object pass (TrackWithMotionModel object work,
+        # src/Tracking.cc:1246-1647)
+        self._appear_new_object = False
+        if self.obj_updater is not None and bool(jnp.any(frame.box_valid)):
+            self.map, self.obj_table, appear_new = self.obj_updater.frame_update(
+                self.map, self.obj_table,
+                (frame.boxes, frame.box_class, frame.box_score, frame.box_valid),
+                T, frame.kp, r2.cur_pt, self.frame_id,
+            )
+            self._appear_new_object = appear_new
+
         if self._need_new_keyframe(frame, n2):
             cur_pt = np.asarray(r2.cur_pt)
-            self._insert_keyframe(frame, timestamp, T, cur_pt)
+            self._insert_keyframe(frame, timestamp, T, cur_pt,
+                                  by_object=self._appear_new_object)
             self._local_mapping()
             T = np.asarray(self.map.kf_pose)[self.kf_slots[-1]]
             self.frames_since_kf = 0
@@ -362,7 +386,10 @@ class MonoTracker:
         c1 = self.frames_since_kf >= cfg.max_frames_between_kf
         base = max(self.ref_kf_tracked, self.peak_since_kf, 1)
         c2 = n_tracked < cfg.kf_tracked_ratio * base
-        return (c1 or c2) and n_tracked > cfg.min_matches_ref_kf
+        # path 2: a new object landmark forces a keyframe
+        # (Frame::AppearNewObject, src/Tracking.cc:1850-1897)
+        c3 = self._appear_new_object
+        return (c1 or c2 or c3) and n_tracked > cfg.min_matches_ref_kf
 
     # ------------------------------------------------------------------
     # keyframe insertion + local mapping
@@ -451,6 +478,13 @@ class MonoTracker:
         )
         self._apply_ba(ba)
         self._cull_points()
+
+        # EAO keyframe-rate object pass: merge potential associations and
+        # resolve 3D-overlapping cuboids (src/LocalMapping.cc:799-882)
+        if self.obj_updater is not None:
+            from eao_slam_tpu.objects.merge import run_merge_pass
+
+            self.map, self.obj_table = run_merge_pass(self.map, self.obj_table)
 
     def _triangulate_new_points(self, slot: int, nb: int):
         tri = triangulate_with_neighbor(

@@ -20,6 +20,10 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running integration test")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)  # reference's iForest seed (src/Object.cc:1214)
