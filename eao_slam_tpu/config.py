@@ -101,6 +101,7 @@ class TrackingConfig:
     min_inliers_after_pose: int = 10
     kf_tracked_ratio: float = 0.9       # thRefRatio for mono (src/Tracking.cc:1840)
     min_init_matches: int = 100         # Initializer gate (src/Tracking.cc:880)
+    enable_loop_closing: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

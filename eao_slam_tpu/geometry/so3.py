@@ -59,12 +59,15 @@ def log(R: jnp.ndarray) -> jnp.ndarray:
     the diagonal of R + I).
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    # clip strictly inside (-1, 1): d/dx arccos blows up at the endpoints and
+    # jnp.where does NOT stop NaN gradients from the unselected branch, which
+    # poisons any autodiff through log at identity (pose-graph Jacobians)
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_t)
     # Generic branch: theta / (2 sin theta) * vee(R - R^T)
     sin_t = jnp.sin(theta)
     w_generic = vee(R - jnp.swapaxes(R, -1, -2))
-    scale = jnp.where(theta < 1e-4, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_t + _EPS))
+    scale = jnp.where(theta < 1e-3, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_t + _EPS))
     w_small = scale[..., None] * w_generic
     # Near-pi branch: axis from largest diagonal of (R + I) / 2.
     Rp = R + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
@@ -114,19 +117,19 @@ def mat_to_quat(R: jnp.ndarray) -> jnp.ndarray:
     tr = m00 + m11 + m22
 
     # Four candidates, each valid when its pivot is the largest.
-    qw0 = jnp.sqrt(jnp.maximum(1.0 + tr, 0.0)) * 0.5
+    qw0 = jnp.sqrt(jnp.maximum(1.0 + tr, 1e-12)) * 0.5
     s0 = 0.25 / jnp.maximum(qw0, _EPS)
     c0 = jnp.stack([qw0, (m21 - m12) * s0, (m02 - m20) * s0, (m10 - m01) * s0], axis=-1)
 
-    qx1 = jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 0.0)) * 0.5
+    qx1 = jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 1e-12)) * 0.5
     s1 = 0.25 / jnp.maximum(qx1, _EPS)
     c1 = jnp.stack([(m21 - m12) * s1, qx1, (m01 + m10) * s1, (m02 + m20) * s1], axis=-1)
 
-    qy2 = jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, 0.0)) * 0.5
+    qy2 = jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, 1e-12)) * 0.5
     s2 = 0.25 / jnp.maximum(qy2, _EPS)
     c2 = jnp.stack([(m02 - m20) * s2, (m01 + m10) * s2, qy2, (m12 + m21) * s2], axis=-1)
 
-    qz3 = jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, 0.0)) * 0.5
+    qz3 = jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, 1e-12)) * 0.5
     s3 = 0.25 / jnp.maximum(qz3, _EPS)
     c3 = jnp.stack([(m10 - m01) * s3, (m02 + m20) * s3, (m12 + m21) * s3, qz3], axis=-1)
 

@@ -186,10 +186,12 @@ def make_arc_trajectory(
 # image rendering (ray casting against quads)
 # ---------------------------------------------------------------------------
 
-def render_image(scene: Scene, cam, T_cw: np.ndarray, supersample: int = 1) -> np.ndarray:
+def render_image(scene: Scene, cam, T_cw: np.ndarray, supersample: int = 1,
+                 return_depth: bool = False):
     """Render a grayscale uint8 image by intersecting pixel rays with every
     quad and shading from its texture (bilinear). Pure numpy; used offline to
-    build test sequences, not on the hot path."""
+    build test sequences, not on the hot path. With return_depth, also
+    returns the z-depth map (camera-frame z, inf where no hit)."""
     H = int(cam.height) * supersample
     W = int(cam.width) * supersample
     R_cw = T_cw[:3, :3]
@@ -241,7 +243,15 @@ def render_image(scene: Scene, cam, T_cw: np.ndarray, supersample: int = 1) -> n
         best_t = np.where(ok, tt, best_t)
     if supersample > 1:
         img = img.reshape(cam.height, supersample, cam.width, supersample).mean((1, 3))
-    return np.clip(img, 0, 255).astype(np.uint8)
+    out = np.clip(img, 0, 255).astype(np.uint8)
+    if return_depth:
+        # ray dirs have unit z in the camera frame, so the ray parameter t
+        # IS the camera-frame z-depth
+        z = best_t
+        if supersample > 1:
+            z = z.reshape(cam.height, supersample, cam.width, supersample).mean((1, 3))
+        return out, z
+    return out
 
 
 def project_boxes(scene: Scene, cam, T_cw: np.ndarray, max_boxes: int, pad: float = 4.0):

@@ -1,0 +1,306 @@
+"""Loop closing: vocabulary-free place recognition, Sim3 verification,
+pose-graph correction and global BA.
+
+TPU-native rebuild of the LoopClosing thread (src/LoopClosing.cc:60-680)
+and KeyFrameDatabase (src/KeyFrameDatabase.cc):
+
+- Place recognition: instead of the DBoW2 vocabulary tree (a CPU pointer
+  walk), every keyframe gets a bag-of-words signature over a *random binary
+  codebook* — word assignment is one int8 MXU matmul (argmin hamming
+  against W centroids), scoring all keyframes is one [K, W] @ [W] matvec.
+  Same inverted-file semantics, dense math.
+- Candidate gating mirrors DetectLoop (src/LoopClosing.cc:103-229):
+  exclude covisible keyframes, threshold by the lowest covisible-neighbor
+  score, and require temporal consistency across consecutive keyframes.
+- Geometric verification = solvers/sim3_solver (RANSAC Horn + the 5+10
+  OptimizeSim3 schedule) on brute-matched map-point pairs
+  (ComputeSim3, src/LoopClosing.cc:231-400).
+- Correction = essential-graph Sim3 optimization (solvers/pose_graph) with
+  the loop keyframe fixed, point re-anchoring through each point's
+  reference keyframe, then global BA (CorrectLoop + RunGlobalBundle-
+  Adjustment, src/LoopClosing.cc:402-680).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eao_slam_tpu.config import SystemConfig
+from eao_slam_tpu.geometry import se3, sim3
+from eao_slam_tpu.ops import matching
+from eao_slam_tpu.solvers.ba import BAProblem, bundle_adjust
+from eao_slam_tpu.solvers.pose_graph import PoseGraphProblem, optimize_essential_graph
+from eao_slam_tpu.solvers.sim3_solver import (
+    optimize_sim3_schedule,
+    solve_sim3_ransac,
+)
+
+N_WORDS = 32 * 256  # byte-position vocabulary: 32 positions x 256 values
+
+
+@jax.jit
+def kf_signature(desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """L2-normalized byte-position histogram of a keyframe's descriptors.
+
+    Each descriptor votes its byte value at each of its 32 byte positions —
+    a 8192-word 'vocabulary' whose words are (position, value) pairs. This
+    keeps DBoW2's inverted-file semantics but with a quantizer that is
+    robust to bit noise (a b-bit flip changes at most b of 32 votes,
+    whereas nearest-centroid assignment against random words flips whole
+    words on 1-bit changes) and needs no trained tree. Scoring every
+    keyframe is one [K, W] @ [W] matvec.
+    """
+    F = desc.shape[0]
+    shifts = jnp.arange(0, 32, 8, dtype=jnp.uint32)
+    bytes_ = ((desc[:, :, None] >> shifts[None, None, :]) & jnp.uint32(0xFF))
+    bytes_ = bytes_.reshape(F, 32).astype(jnp.int32)          # [F, 32]
+    pos = jnp.arange(32, dtype=jnp.int32)[None, :]
+    idx = pos * 256 + bytes_                                  # [F, 32]
+    hist = jnp.zeros((N_WORDS,), jnp.float32).at[idx.reshape(-1)].add(
+        jnp.repeat(valid.astype(jnp.float32), 32)
+    )
+    return hist / jnp.maximum(jnp.linalg.norm(hist), 1e-9)
+
+
+class LoopCloser:
+    """Host orchestrator; owns per-keyframe signatures + consistency state."""
+
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        self.cam = cfg.camera
+        K = cfg.capacity.max_keyframes
+        self.signatures = np.zeros((K, N_WORDS), np.float32)
+        self.consistent_streak: dict = {}
+        self.last_loop_order = -999  # kf_order index of the last closed loop
+        self.closed_loops = 0
+
+    # ------------------------------------------------------------------
+
+    def on_keyframe(self, tracker, slot: int) -> bool:
+        """Run detection (+ correction on success) for a new keyframe.
+        Returns True if a loop was closed (map rewritten)."""
+        m = tracker.map
+        self.signatures[slot] = np.asarray(
+            kf_signature(m.kf_desc[slot], m.kf_kp_valid[slot])
+        )
+        order = len(tracker.kf_slots) - 1
+        if order - self.last_loop_order < 10 or order < 10:
+            return False
+
+        cand = self._detect(tracker, slot, order)
+        if cand is None:
+            return False
+        ok = self._verify_and_correct(tracker, slot, cand)
+        if ok:
+            self.last_loop_order = order
+            self.closed_loops += 1
+            self.consistent_streak.clear()
+        return ok
+
+    # ------------------------------------------------------------------
+
+    def _covis_weights(self, tracker, slot: int) -> np.ndarray:
+        cur = tracker.kf_pt_host[slot]
+        cur_set = cur[cur >= 0]
+        w = np.zeros((self.cfg.capacity.max_keyframes,), np.int64)
+        for s in tracker.kf_slots:
+            if s == slot or not tracker.kf_valid_host[s]:
+                continue
+            other = tracker.kf_pt_host[s]
+            w[s] = np.isin(cur_set, other[other >= 0]).sum()
+        return w
+
+    def _detect(self, tracker, slot: int, order: int) -> Optional[int]:
+        """DetectLoop: score gate + 3-consecutive-keyframe consistency."""
+        covis = self._covis_weights(tracker, slot)
+        scores = self.signatures[: self.cfg.capacity.max_keyframes] @ self.signatures[slot]
+
+        # minimum acceptable score = worst score among covisible neighbors
+        neigh = covis >= 15
+        min_score = float(scores[neigh].min()) if neigh.any() else 0.3
+        min_score = max(min_score, 0.15)
+
+        recent = set(tracker.kf_slots[-8:])
+        best_cand, best_score = None, 0.0
+        for s in tracker.kf_slots:
+            if s == slot or s in recent or not tracker.kf_valid_host[s]:
+                continue
+            if covis[s] > 0:            # connected -> not a loop
+                continue
+            if scores[s] >= min_score and scores[s] > best_score:
+                best_cand, best_score = s, float(scores[s])
+
+        if best_cand is None:
+            self.consistent_streak.clear()
+            return None
+
+        # temporal consistency (the reference's consistency groups): the
+        # same candidate neighborhood must fire on 3 consecutive keyframes
+        cand_covis = self._covis_weights(tracker, best_cand)
+        group = {best_cand} | {
+            s for s in tracker.kf_slots if cand_covis[s] >= 15
+        }
+        streak = 1
+        for prev_group, prev_streak in self.consistent_streak.items():
+            if group & set(prev_group):
+                streak = max(streak, prev_streak + 1)
+        self.consistent_streak = {tuple(sorted(group)): streak}
+        if streak < 3:
+            return None
+        return best_cand
+
+    # ------------------------------------------------------------------
+
+    def _verify_and_correct(self, tracker, slot: int, cand: int) -> bool:
+        m = tracker.map
+        cfg = self.cfg
+        P = cfg.capacity.max_points
+
+        # brute descriptor match between the two keyframes' mapped features
+        pt1 = m.kf_pt_idx[slot]
+        pt2 = m.kf_pt_idx[cand]
+        q_valid = m.kf_kp_valid[slot] & (pt1 >= 0)
+        t_valid = m.kf_kp_valid[cand] & (pt2 >= 0)
+        idx, d, ok = matching.search_brute(
+            m.kf_desc[slot], q_valid, m.kf_desc[cand], t_valid,
+            max_dist=matching.TH_LOW, ratio=0.75,
+        )
+        n_matches = int(jnp.sum(ok))
+        if n_matches < 20:
+            return False
+
+        p1 = jnp.clip(pt1, 0, P - 1)
+        p2 = jnp.clip(pt2[idx], 0, P - 1)
+        T1 = m.kf_pose[slot]
+        T2 = m.kf_pose[cand]
+        xc1 = se3.apply(T1, m.pt_pos[p1])
+        xc2 = se3.apply(T2, m.pt_pos[p2])
+        s2_1 = jnp.asarray(tracker.scale2_np)[jnp.clip(m.kf_octave[slot], 0, 7)]
+        s2_2 = jnp.asarray(tracker.scale2_np)[jnp.clip(m.kf_octave[cand], 0, 7)][idx]
+
+        tracker.rng_key, sub = jax.random.split(tracker.rng_key)
+        res = solve_sim3_ransac(self.cam, xc1, xc2, ok, s2_1, s2_2, sub)
+        if not bool(res.success):
+            return False
+        res = optimize_sim3_schedule(
+            self.cam, res.S12, xc1, xc2, ok & res.inliers, 1.0 / s2_1, 1.0 / s2_2
+        )
+        if int(res.n_inliers) < 20:
+            return False
+
+        self._correct_loop(tracker, slot, cand, res.S12)
+        self._fuse_loop_points(tracker, p1, p2, ok & res.inliers)
+        # global BA over the fused, corrected map straightens the interior
+        # of the chain (RunGlobalBundleAdjustment, src/LoopClosing.cc:642)
+        self._global_ba(tracker, fixed_slot=cand)
+        tracker.last_T = np.asarray(tracker.map.kf_pose)[tracker.kf_slots[-1]]
+        tracker.velocity = None
+        tracker.last_pt = jnp.asarray(tracker.kf_pt_host[tracker.kf_slots[-1]])
+        return True
+
+    def _fuse_loop_points(self, tracker, p1, p2, inlier):
+        """Replace the current side's duplicated points with the loop side's
+        (SearchAndFuse, src/LoopClosing.cc:584-640, restricted to the
+        verified Sim3 inlier matches): every keyframe observation of p1
+        now references p2, and p1 dies."""
+        m = tracker.map
+        P = m.pt_pos.shape[0]
+        src = jnp.where(inlier, p1, P)          # dup points (current side)
+        dst = jnp.where(inlier, p2, P)
+        remap = jnp.arange(P + 1, dtype=jnp.int32).at[src].set(dst, mode="drop")
+        remap = remap[:P]
+
+        kf_pt = m.kf_pt_idx
+        live = kf_pt >= 0
+        kf_pt = jnp.where(live, remap[jnp.clip(kf_pt, 0, P - 1)], kf_pt)
+        pt_valid = m.pt_valid.at[src].set(False, mode="drop")
+        tracker.map = m._replace(kf_pt_idx=kf_pt, pt_valid=pt_valid)
+        tracker.kf_pt_host = np.asarray(tracker.map.kf_pt_idx)
+        tracker.pt_valid_host = np.asarray(pt_valid)
+
+    def _correct_loop(self, tracker, slot: int, cand: int, S12):
+        """CorrectLoop: essential-graph optimization + point re-anchoring +
+        global BA (src/LoopClosing.cc:402-582)."""
+        m = tracker.map
+        cfg = self.cfg
+        K = cfg.capacity.max_keyframes
+        slots = [s for s in tracker.kf_slots if tracker.kf_valid_host[s]]
+        order_of = {s: i for i, s in enumerate(tracker.kf_slots)}
+
+        poses_old = np.asarray(m.kf_pose)
+        verts = np.zeros((K, 8), np.float32)
+        verts[:, 0] = 1.0
+        for s in slots:
+            verts[s] = np.asarray(sim3.from_se3(jnp.asarray(poses_old[s])))
+
+        # edges: temporal chain + strong covisibility + the loop edge
+        ei, ej, meas, wts = [], [], [], []
+
+        def add_edge(i, j, Sm, w=1.0):
+            ei.append(i)
+            ej.append(j)
+            meas.append(Sm)
+            wts.append(w)
+
+        Sv = jnp.asarray(verts)
+        for a, b in zip(tracker.kf_slots[:-1], tracker.kf_slots[1:]):
+            if tracker.kf_valid_host[a] and tracker.kf_valid_host[b]:
+                add_edge(a, b, sim3.compose(Sv[b], sim3.inverse(Sv[a])))
+        # covisibility edges (weight >= 30 shared points, mirroring the
+        # reference's >= 100-weight gate scaled to our feature budget)
+        for i_idx, a in enumerate(slots):
+            covis = self._covis_weights(tracker, a)
+            for b in slots[i_idx + 1:]:
+                if covis[b] >= 30 and abs(order_of[a] - order_of[b]) > 1:
+                    add_edge(a, b, sim3.compose(Sv[b], sim3.inverse(Sv[a])))
+        # loop edge: S_slot = S12 * S_cand  =>  meas S_{slot,cand} = S12
+        add_edge(cand, slot, jnp.asarray(S12), w=5.0)
+
+        E = len(ei)
+        v_fixed = np.zeros((K,), bool)
+        v_fixed[cand] = True
+        v_valid = np.zeros((K,), bool)
+        v_valid[slots] = True
+
+        prob = PoseGraphProblem(
+            vertices=jnp.asarray(verts),
+            v_fixed=jnp.asarray(v_fixed),
+            v_valid=jnp.asarray(v_valid),
+            edge_i=jnp.asarray(ei, jnp.int32),
+            edge_j=jnp.asarray(ej, jnp.int32),
+            edge_meas=jnp.stack(meas),
+            edge_valid=jnp.ones((E,), bool),
+            edge_weight=jnp.asarray(wts, jnp.float32),
+        )
+        new_verts, cost = optimize_essential_graph(prob, iters=20)
+
+        # re-anchor points through their reference keyframe:
+        # X' = S_new^-1 ( S_old (X) )
+        S_old = jnp.asarray(verts)
+        ref_kf = jnp.clip(m.pt_first_kf, 0, K - 1)
+        S_o = S_old[ref_kf]
+        S_n = new_verts[ref_kf]
+        X_corr = sim3.apply(
+            jax.vmap(sim3.inverse)(S_n), sim3.apply(S_o, m.pt_pos)
+        )
+        X_corr = jnp.where((m.pt_valid & (m.pt_first_kf >= 0))[:, None], X_corr, m.pt_pos)
+
+        new_poses = jax.vmap(sim3.to_se3)(new_verts)
+        keep = ~jnp.asarray(v_valid)
+        kf_pose = jnp.where(keep[:, None, None], m.kf_pose, new_poses)
+        tracker.map = m._replace(kf_pose=kf_pose, pt_pos=X_corr)
+
+    def _global_ba(self, tracker, fixed_slot: int):
+        from eao_slam_tpu.runtime.local_mapping import run_local_ba
+
+        slots = [s for s in tracker.kf_slots if tracker.kf_valid_host[s]]
+        ba = run_local_ba(
+            tracker.cam, tracker.map, slots, [fixed_slot],
+            tracker.scale2_np, self.cfg.capacity.local_ba_points,
+        )
+        tracker._apply_ba(ba)

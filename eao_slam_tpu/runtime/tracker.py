@@ -100,6 +100,13 @@ class MonoTracker:
         self.init_ref_t: float = 0.0
         self.records: List[FrameRecord] = []
 
+        # --- loop closing (LoopClosing thread equivalent)
+        self.loop_closer = None
+        if cfg.tracking.enable_loop_closing:
+            from eao_slam_tpu.runtime.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(cfg)
+
         # --- EAO object layer (lazy import keeps the core slice light)
         self.obj_table = None
         self.obj_updater = None
@@ -485,6 +492,10 @@ class MonoTracker:
             from eao_slam_tpu.objects.merge import run_merge_pass
 
             self.map, self.obj_table = run_merge_pass(self.map, self.obj_table)
+
+        # loop detection + closure (LoopClosing::Run per-keyframe work)
+        if self.loop_closer is not None:
+            self.loop_closer.on_keyframe(self, slot)
 
     def _triangulate_new_points(self, slot: int, nb: int):
         tri = triangulate_with_neighbor(
