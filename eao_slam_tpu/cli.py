@@ -1,0 +1,141 @@
+"""Command-line drivers — the mono_tum contract plus a synthetic demo.
+
+Mirrors Examples/Monocular/mono_tum.cc: `mono_tum <flag> <sequence_path>`
+where flag ∈ {None, iForest, LineAndiForest, NA, IoU, NP, EAO, Full}
+(the ablation harness, README §3) and sequence_path is a TUM directory
+with rgb.txt; detections load from <seq>/yolo_txts/<timestamp>.txt in the
+offline-YOLO contract (src/Tracking.cc:426-499). The `demo` subcommand
+runs fully self-contained on the synthetic room scene (no dataset needed).
+
+Usage:
+    python -m eao_slam_tpu.cli mono_tum <flag> <sequence_path> [out_dir]
+    python -m eao_slam_tpu.cli demo [flag] [n_frames]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from eao_slam_tpu.config import CapacityConfig, DemoFlag, tum3_config
+from eao_slam_tpu.system import System
+
+
+def run_mono_tum(flag: str, seq: str, out_dir: str = ".") -> dict:
+    import cv2
+
+    from eao_slam_tpu.io.tum import load_image_list, load_yolo_boxes
+
+    cfg = tum3_config(flag)
+    sysm = System(cfg)
+    lst = load_image_list(os.path.join(seq, "rgb.txt"))
+    B = cfg.capacity.max_boxes
+    yolo_dir = os.path.join(seq, "yolo_txts")
+
+    for ts, rel in zip(lst.timestamps, lst.filenames):
+        img = cv2.imread(os.path.join(seq, rel), cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            print(f"warn: unreadable image {rel}", file=sys.stderr)
+            continue
+        boxes = None
+        if cfg.flag.objects_enabled and os.path.isdir(yolo_dir):
+            boxes = load_yolo_boxes(yolo_dir, float(ts), B)
+        sysm.track_monocular(img, float(ts), boxes=boxes)
+
+    sysm.shutdown()
+    return _export(sysm, out_dir)
+
+
+def run_demo(flag: str = "EAO", n_frames: int = 60, out_dir: str = ".") -> dict:
+    from eao_slam_tpu.geometry.camera import TUM3
+    from eao_slam_tpu.io.synthetic import (
+        make_arc_trajectory,
+        make_room_scene,
+        project_boxes,
+        simulate_observations,
+    )
+    from eao_slam_tpu.io.trajectory import ate_rmse
+    from eao_slam_tpu.runtime.frame import frame_from_arrays
+
+    cfg = tum3_config(flag).replace(
+        capacity=CapacityConfig(max_keyframes=64, max_points=8192,
+                                max_features=512, local_ba_points=2048)
+    )
+    sysm = System(cfg)
+    scene = make_room_scene(seed=3, n_landmarks=2000, n_objects=3)
+    ts, gt = make_arc_trajectory(n_frames=n_frames, sweep_deg=40.0)
+    rng = np.random.default_rng(7)
+
+    t0 = time.perf_counter()
+    for i, T_gt in enumerate(gt):
+        obs = simulate_observations(scene, TUM3, T_gt, max_features=512,
+                                    rng=rng, pixel_noise=0.4, bit_flips=6)
+        bxs, cls, score, bvalid = project_boxes(scene, TUM3, T_gt,
+                                                cfg.capacity.max_boxes)
+        f = frame_from_arrays(cfg, kp=obs["kp"], desc=obs["desc"],
+                              octave=obs["octave"], valid=obs["valid"],
+                              boxes=bxs, box_class=cls, box_score=score,
+                              box_valid=bvalid)
+        t1 = time.perf_counter()
+        sysm.track_frame(f, float(ts[i]))
+        sysm.timings.append(time.perf_counter() - t1)
+    wall = time.perf_counter() - t0
+    sysm.shutdown()
+
+    stats = _export(sysm, out_dir)
+    est_ts, est_T = sysm.tracker.frame_trajectory()
+    if len(est_ts):
+        idx = [int(np.argmin(np.abs(ts - t))) for t in est_ts]
+        est_c = np.stack([-T[:3, :3].T @ T[:3, 3] for T in est_T])
+        gt_c = np.stack([-T[:3, :3].T @ T[:3, 3] for T in gt[idx]])
+        stats["ate_rmse_m"] = round(ate_rmse(est_c, gt_c), 5)
+    stats["wall_s"] = round(wall, 2)
+    stats["fps"] = round(len(gt) / wall, 2)
+    return stats
+
+
+def _export(sysm: System, out_dir: str) -> dict:
+    os.makedirs(out_dir, exist_ok=True)
+    n_kf = sysm.save_keyframe_trajectory_tum(
+        os.path.join(out_dir, "KeyFrameTrajectory.txt"))
+    n_fr = sysm.save_frame_trajectory_tum(
+        os.path.join(out_dir, "FrameTrajectory.txt"))
+    n_obj = sysm.save_objects_json(os.path.join(out_dir, "objects.json"))
+    n_sd = sysm.save_semidense_obj(os.path.join(out_dir, "semidense.obj"))
+    stats = {
+        "keyframes": n_kf,
+        "frames_tracked": n_fr,
+        "objects": n_obj,
+        "semidense_points": n_sd,
+    }
+    stats.update({f"tracking_{k}": round(v, 4) for k, v in sysm.timing_stats().items()})
+    return stats
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print(__doc__)
+        return 1
+    cmd = argv[0]
+    if cmd == "mono_tum":
+        flag, seq = argv[1], argv[2]
+        out = argv[3] if len(argv) > 3 else "."
+        stats = run_mono_tum(flag, seq, out)
+    elif cmd == "demo":
+        flag = argv[1] if len(argv) > 1 else "EAO"
+        n = int(argv[2]) if len(argv) > 2 else 60
+        stats = run_demo(flag, n)
+    else:
+        print(__doc__)
+        return 1
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -96,6 +96,7 @@ class ObjectUpdater:
         kp: jnp.ndarray,    # [F, 2] current frame keypoints
         cur_pt: jnp.ndarray,  # [F] map-point id per feature
         frame_id: int,
+        lines=None,         # ([L, 4], [L] valid) 2D segments for yaw sampling
     ):
         """Returns (map_state, table, appear_new_object: bool)."""
         bxs, cls, score, bvalid = frame_boxes
@@ -123,6 +124,21 @@ class ObjectUpdater:
             table2 = table2._replace(
                 re_obj=table2.re_obj.at[src, dst].add(1)
             )
+
+        # line-alignment yaw sampling (SampleObjYaw, src/Tracking.cc:2624)
+        if self.cfg.flag.use_yaw_lines and lines is not None:
+            from eao_slam_tpu.objects.yaw import update_yaw, yaw_sample_scores
+
+            lns, lns_valid = lines
+            targets = jnp.asarray(
+                np.where(assoc >= 0, assoc, new_slots).astype(np.int32)
+            )
+            counts, errs, n_lines = yaw_sample_scores(
+                self.cam, table2, targets, bxs,
+                jnp.asarray(T_cw, jnp.float32), lns, lns_valid,
+            )
+            table2 = update_yaw(table2, targets, counts, errs, n_lines)
+
         appear_new = bool((np.asarray(new_slots) >= 0).any())
         return m2, table2, appear_new
 

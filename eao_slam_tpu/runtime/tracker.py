@@ -326,6 +326,7 @@ class MonoTracker:
                 self.map, self.obj_table,
                 (frame.boxes, frame.box_class, frame.box_score, frame.box_valid),
                 T, frame.kp, r2.cur_pt, self.frame_id,
+                lines=(frame.lines, frame.line_valid),
             )
             self._appear_new_object = appear_new
 
@@ -349,23 +350,54 @@ class MonoTracker:
         self.last_T = T
         return T
 
+    def _reloc_candidates(self, frame: Frame, k: int = 5):
+        """Candidate keyframes for relocalization: signature scoring against
+        all keyframes (DetectRelocalizationCandidates,
+        src/KeyFrameDatabase.cc:198), falling back to recency."""
+        slots = [s for s in self.kf_slots if self.kf_valid_host[s]]
+        if self.loop_closer is None or not slots:
+            return list(reversed(self.kf_slots[-k:]))
+        from eao_slam_tpu.runtime.loop_closing import kf_signature
+
+        sig = np.asarray(kf_signature(frame.desc, frame.valid))
+        scores = self.loop_closer.signatures[slots] @ sig
+        order = np.argsort(-scores)[:k]
+        return [slots[i] for i in order]
+
     def _relocalize(self, frame: Frame, timestamp: float) -> Optional[np.ndarray]:
-        """Minimal relocalization: brute-match against recent keyframes
-        (Tracking::Relocalization, src/Tracking.cc:2184 — BoW candidates +
-        EPnP replaced for now by exact NN + LM from the KF pose; EPnP RANSAC
-        lands with the solvers milestone)."""
-        for slot in reversed(self.kf_slots[-5:]):
+        """Relocalization (Tracking::Relocalization, src/Tracking.cc:2184):
+        signature candidates -> brute descriptor match -> EPnP RANSAC ->
+        local-map tracking from the recovered pose."""
+        from eao_slam_tpu.ops import matching
+        from eao_slam_tpu.solvers.pnp import pnp_ransac
+
+        P = self.cfg.capacity.max_points
+        for slot in self._reloc_candidates(frame):
             if not self.kf_valid_host[slot]:
                 continue
-            T0 = np.asarray(self.map.kf_pose)[slot]
-            r = tk.track_reference_kf(
-                self.cam, self.map.pt_pos, self.map.pt_valid,
-                jnp.asarray(T0, jnp.float32),
-                self.map.kf_desc[slot], self.map.kf_kp_valid[slot],
-                self.map.kf_pt_idx[slot],
-                frame.kp, frame.desc, frame.octave, frame.valid, self.scale2,
+            pt_kf = self.map.kf_pt_idx[slot]
+            q_valid = self.map.kf_kp_valid[slot] & (pt_kf >= 0)
+            idx, d, ok = matching.search_brute(
+                self.map.kf_desc[slot], q_valid,
+                frame.desc, frame.valid,
+                max_dist=matching.TH_LOW, ratio=0.75,
             )
-            if int(r.n_inliers) >= self.cfg.tracking.min_matches_ref_kf:
+            if int(jnp.sum(ok)) < 15:
+                continue
+            Xw = self.map.pt_pos[jnp.clip(pt_kf, 0, P - 1)]
+            uv = frame.kp[idx]
+            inv_s2 = 1.0 / self.scale2[jnp.clip(frame.octave[idx], 0, 7)]
+            self.rng_key, sub = jax.random.split(self.rng_key)
+            pnp = pnp_ransac(self.cam, Xw, uv, ok, inv_s2, sub)
+            if not bool(pnp.success):
+                continue
+            # matched features of the frame inherit the keyframe's points
+            keep = ok & pnp.inliers
+            cur_pt = jnp.full((frame.kp.shape[0],), -1, jnp.int32).at[idx].max(
+                jnp.where(keep, pt_kf, -1)
+            )
+            r = tk.TrackResult(pnp.T, cur_pt, pnp.n_inliers, jnp.sum(ok))
+            if int(r.n_inliers) >= self.cfg.tracking.min_inliers_after_pose:
                 r2 = tk.track_local_map_step(
                     self.cam,
                     self.map.pt_pos, self.map.pt_valid, self.map.pt_desc,

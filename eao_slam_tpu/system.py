@@ -1,0 +1,170 @@
+"""System facade: the public entry point of the framework.
+
+Mirror of ORB_SLAM2::System (src/System.cc:41-154): constructs the full
+pipeline for a config/ablation flag, accepts monocular frames, and exports
+trajectories, object maps and semi-dense clouds on shutdown. The
+reference's five threads are explicit pipeline stages inside MonoTracker
+(SURVEY.md §7.1); the semi-dense + line + mesh pass runs offline at
+shutdown exactly like the reference's ProbabilityMapping thread does
+(src/ProbabilityMapping.cc:204-300).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Optional
+
+import numpy as np
+
+from eao_slam_tpu.config import DemoFlag, SystemConfig, tum3_config
+from eao_slam_tpu.io.trajectory import save_tum
+from eao_slam_tpu.runtime.frame import Frame, frame_from_image
+from eao_slam_tpu.runtime.tracker import MonoTracker
+
+
+class System:
+    """Monocular object-SLAM engine (System::System + TrackMonocular)."""
+
+    def __init__(self, config: Optional[SystemConfig] = None,
+                 flag: DemoFlag | str = DemoFlag.NONE):
+        self.cfg = config if config is not None else tum3_config(flag)
+        self.tracker = MonoTracker(self.cfg)
+        self.timings: list = []
+        # retained keyframe images for the offline semi-dense pass
+        self._kf_images: dict = {}
+        self._last_img: Optional[np.ndarray] = None
+        self._semidense_result = None
+
+    # ------------------------------------------------------------------
+
+    def track_monocular(self, img: np.ndarray, timestamp: float,
+                        boxes=None) -> Optional[np.ndarray]:
+        """Feed one grayscale image [H, W] (uint8/float). boxes: optional
+        (boxes [B,4], cls [B], score [B], valid [B]) in the offline-YOLO
+        contract (src/Tracking.cc:426-499). Returns T_cw [3,4] or None."""
+        t0 = time.perf_counter()
+        kw = {}
+        if boxes is not None:
+            b, c, s, v = boxes
+            kw = dict(boxes=b, box_class=c, box_score=s, box_valid=v)
+        frame = frame_from_image(
+            self.cfg, np.asarray(img, np.float32), **kw
+        )
+        T = self.track_frame(frame, timestamp, img=img)
+        self.timings.append(time.perf_counter() - t0)
+        return T
+
+    def track_frame(self, frame: Frame, timestamp: float,
+                    img: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
+        """Feed a pre-extracted Frame (the feature-level injection seam)."""
+        n_kf_before = len(self.tracker.kf_slots)
+        T = self.tracker.track(frame, timestamp)
+        if (
+            img is not None
+            and self.cfg.flag.semidense_enabled
+            and len(self.tracker.kf_slots) > n_kf_before
+        ):
+            self._kf_images[self.tracker.kf_slots[-1]] = np.asarray(img, np.float32)
+        return T
+
+    # ------------------------------------------------------------------
+
+    def shutdown(self, semidense: bool = True):
+        """Offline phase: semi-dense reconstruction over retained keyframe
+        images (SemiDenseLoop's run-after-tracking behavior)."""
+        if semidense and self.cfg.flag.semidense_enabled and len(self._kf_images) >= 4:
+            self._semidense_result = self._run_semidense()
+        return self._semidense_result
+
+    def _run_semidense(self):
+        from eao_slam_tpu.dense import semidense_reconstruct
+
+        tr = self.tracker
+        slots = [s for s in tr.kf_slots if s in self._kf_images
+                 and tr.kf_valid_host[s]]
+        if len(slots) < 4:
+            return None
+        imgs = np.stack([self._kf_images[s] for s in slots])
+        poses = np.asarray(tr.map.kf_pose)[slots]
+
+        # depth prior per KF from its tracked map points (mean ± 2 sigma,
+        # StereoSearchConstraints src/ProbabilityMapping.cc:734-747)
+        pts = np.asarray(tr.map.pt_pos)
+        ranges = []
+        for i, s in enumerate(slots):
+            ids = tr.kf_pt_host[s]
+            X = pts[ids[ids >= 0]]
+            z = X @ poses[i][:3, :3][2] + poses[i][2, 3]
+            z = z[z > 0.05]
+            if len(z) < 5:
+                ranges.append((0.3, 10.0))
+            else:
+                mu, sd = float(z.mean()), float(z.std())
+                ranges.append((max(mu - 2 * sd, 0.1), mu + 2 * sd))
+        idx_of = {s: i for i, s in enumerate(slots)}
+        neighbors = []
+        for i in range(len(slots)):
+            nb = [j for j in range(max(0, i - 3), min(len(slots), i + 4)) if j != i]
+            neighbors.append(nb[:6])
+        return semidense_reconstruct(
+            self.cfg.camera, imgs, poses, np.asarray(ranges, np.float32),
+            neighbors,
+        )
+
+    # ------------------------------------------------------------------
+    # exports (System::SaveKeyFrameTrajectoryTUM and friends)
+    # ------------------------------------------------------------------
+
+    def save_keyframe_trajectory_tum(self, path: str) -> int:
+        ts, Ts = self.tracker.keyframe_trajectory()
+        return save_tum(path, ts, Ts)
+
+    def save_frame_trajectory_tum(self, path: str) -> int:
+        ts, Ts = self.tracker.frame_trajectory()
+        return save_tum(path, ts, Ts)
+
+    def save_objects_json(self, path: str) -> int:
+        """Cuboid landmark export: class, center, size, yaw, confidence —
+        the headless replacement for MapDrawer's cuboid/quadric rendering
+        (src/MapDrawer.cc:419-703)."""
+        t = self.tracker.obj_table
+        if t is None:
+            with open(path, "w") as f:
+                json.dump([], f)
+            return 0
+        valid = np.asarray(t.valid) & ~np.asarray(t.bad)
+        out = []
+        for j in np.nonzero(valid)[0]:
+            out.append({
+                "id": int(j),
+                "class": int(np.asarray(t.cls)[j]),
+                "center": np.asarray(t.center)[j].tolist(),
+                "size": (np.asarray(t.cub_max)[j] - np.asarray(t.cub_min)[j]).tolist(),
+                "yaw": float(np.asarray(t.yaw)[j]),
+                "n_obs": int(np.asarray(t.n_obs)[j]),
+            })
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        return len(out)
+
+    def save_semidense_obj(self, path: str) -> int:
+        from eao_slam_tpu.dense.semidense import save_obj
+
+        if self._semidense_result is None:
+            return 0
+        return save_obj(path, self._semidense_result)
+
+    # ------------------------------------------------------------------
+
+    def timing_stats(self):
+        """Median/mean tracking time (mono_tum's end-of-run print,
+        Examples/Monocular/mono_tum.cc:114-123)."""
+        if not self.timings:
+            return {}
+        t = np.asarray(self.timings)
+        return {
+            "median_s": float(np.median(t)),
+            "mean_s": float(t.mean()),
+            "fps": float(1.0 / max(t.mean(), 1e-9)),
+        }
