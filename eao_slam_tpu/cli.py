@@ -26,8 +26,7 @@ from eao_slam_tpu.system import System
 
 
 def run_mono_tum(flag: str, seq: str, out_dir: str = ".") -> dict:
-    import cv2
-
+    from eao_slam_tpu.io.native_loader import SequenceLoader
     from eao_slam_tpu.io.tum import load_image_list, load_yolo_boxes
 
     cfg = tum3_config(flag)
@@ -36,15 +35,16 @@ def run_mono_tum(flag: str, seq: str, out_dir: str = ".") -> dict:
     B = cfg.capacity.max_boxes
     yolo_dir = os.path.join(seq, "yolo_txts")
 
-    for ts, rel in zip(lst.timestamps, lst.filenames):
-        img = cv2.imread(os.path.join(seq, rel), cv2.IMREAD_GRAYSCALE)
-        if img is None:
-            print(f"warn: unreadable image {rel}", file=sys.stderr)
-            continue
-        boxes = None
-        if cfg.flag.objects_enabled and os.path.isdir(yolo_dir):
-            boxes = load_yolo_boxes(yolo_dir, float(ts), B)
-        sysm.track_monocular(img, float(ts), boxes=boxes)
+    # threaded native decode + prefetch (native/eao_loader.cpp); decoding
+    # overlaps tracking instead of stalling it like the reference's
+    # synchronous cv::imread loop
+    with SequenceLoader(seq, lst.filenames, lst.timestamps,
+                        cfg.camera.width, cfg.camera.height) as loader:
+        for i, ts, img in loader:
+            boxes = None
+            if cfg.flag.objects_enabled and os.path.isdir(yolo_dir):
+                boxes = load_yolo_boxes(yolo_dir, float(ts), B)
+            sysm.track_monocular(img, float(ts), boxes=boxes)
 
     sysm.shutdown()
     return _export(sysm, out_dir)
