@@ -106,11 +106,15 @@ def _export(sysm: System, out_dir: str) -> dict:
         os.path.join(out_dir, "FrameTrajectory.txt"))
     n_obj = sysm.save_objects_json(os.path.join(out_dir, "objects.json"))
     n_sd = sysm.save_semidense_obj(os.path.join(out_dir, "semidense.obj"))
+    n_ln = sysm.save_lines_obj(os.path.join(out_dir, "lines3d.obj"))
+    n_msh = sysm.save_mesh_obj(os.path.join(out_dir, "mesh.obj"))
     stats = {
         "keyframes": n_kf,
         "frames_tracked": n_fr,
         "objects": n_obj,
         "semidense_points": n_sd,
+        "lines3d": n_ln,
+        "mesh_tris": n_msh,
     }
     stats.update({f"tracking_{k}": round(v, 4) for k, v in sysm.timing_stats().items()})
     return stats

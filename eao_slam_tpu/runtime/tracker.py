@@ -525,9 +525,60 @@ class MonoTracker:
 
             self.map, self.obj_table = run_merge_pass(self.map, self.obj_table)
 
+        self._cull_keyframes(window)
+
         # loop detection + closure (LoopClosing::Run per-keyframe work)
         if self.loop_closer is not None:
             self.loop_closer.on_keyframe(self, slot)
+
+    def _cull_keyframes(self, window):
+        """KeyFrameCulling (src/LocalMapping.cc:637-707): a local keyframe
+        whose tracked points are >=90% observed by >=3 other keyframes at a
+        similar-or-finer scale is redundant. Object-created keyframes are
+        exempt (src/LocalMapping.cc:651-652)."""
+        if len(self.kf_slots) < 5:
+            return
+        ratio = self.cfg.mapping.kf_cull_redundancy
+        P = self.cfg.capacity.max_points
+        by_obj = np.asarray(self.map.kf_by_object)
+        oct_host = np.asarray(self.map.kf_octave)
+
+        # observation count + best (finest) octave per point across KFs
+        obs_count = np.zeros((P,), np.int32)
+        best_oct = np.full((P,), 99, np.int32)
+        for s in self.kf_slots:
+            if not self.kf_valid_host[s]:
+                continue
+            pts = self.kf_pt_host[s]
+            sel = pts >= 0
+            obs_count[pts[sel]] += 1
+            np.minimum.at(best_oct, pts[sel], oct_host[s][sel])
+
+        # candidates: interior of the window (never the newest, the first
+        # two, or object keyframes)
+        protected = set(self.kf_slots[:2]) | {self.kf_slots[-1]}
+        for s in list(window[:-1]):
+            if s in protected or not self.kf_valid_host[s] or by_obj[s]:
+                continue
+            pts = self.kf_pt_host[s]
+            sel = pts >= 0
+            ids = pts[sel]
+            if len(ids) < 10:
+                continue
+            # redundant: seen by >=3 others (4 total) at <= our octave + 1
+            redundant = (obs_count[ids] >= 4) & (
+                best_oct[ids] <= oct_host[s][sel] + 1
+            )
+            if redundant.mean() > ratio:
+                # erase the keyframe: observations removed, slot freed
+                obs_count[ids] -= 1
+                self.kf_valid_host[s] = False
+                self.kf_pt_host[s] = -1
+                self.map = self.map._replace(
+                    kf_valid=self.map.kf_valid.at[s].set(False),
+                    kf_pt_idx=self.map.kf_pt_idx.at[s].set(-1),
+                )
+                self.kf_slots.remove(s)
 
     def _triangulate_new_points(self, slot: int, nb: int):
         tri = triangulate_with_neighbor(

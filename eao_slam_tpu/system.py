@@ -35,6 +35,9 @@ class System:
         self._kf_images: dict = {}
         self._last_img: Optional[np.ndarray] = None
         self._semidense_result = None
+        self._semidense_slots: list = []
+        self._lines3d = None
+        self._mesh_tris = None
 
     # ------------------------------------------------------------------
 
@@ -71,11 +74,53 @@ class System:
     # ------------------------------------------------------------------
 
     def shutdown(self, semidense: bool = True):
-        """Offline phase: semi-dense reconstruction over retained keyframe
-        images (SemiDenseLoop's run-after-tracking behavior)."""
+        """Offline phase (the ProbabilityMapping thread's run-after-tracking
+        behavior): semi-dense depth, 3D line segments, surface mesh."""
         if semidense and self.cfg.flag.semidense_enabled and len(self._kf_images) >= 4:
             self._semidense_result = self._run_semidense()
+            if self._semidense_result is not None:
+                self._run_lines3d()
+                self._run_mesh()
         return self._semidense_result
+
+    def _run_lines3d(self):
+        """Per-KF 3D line fitting + multi-view clustering (LineDetector +
+        the Line3D++ offline pass)."""
+        import jax.numpy as jnp
+
+        from eao_slam_tpu.dense.lines3d import cluster_world_segments, fit_3d_segments
+        from eao_slam_tpu.ops.lines import detect_segments
+
+        tr = self.tracker
+        res = self._semidense_result
+        slots = self._semidense_slots
+        cam = self.cfg.camera
+        all_segs, all_valid = [], []
+        for i, s in enumerate(slots):
+            img = jnp.asarray(self._kf_images[s])
+            segs2d, sv = detect_segments(img)
+            s3 = fit_3d_segments(
+                cam, segs2d, sv, res.pixels[i], res.inv_depth[i], res.valid[i],
+                jnp.asarray(np.asarray(tr.map.kf_pose)[s]),
+                height=cam.height, width=cam.width,
+            )
+            all_segs.append(np.asarray(s3.seg))
+            all_valid.append(np.asarray(s3.valid))
+        seg = np.concatenate(all_segs)
+        val = np.concatenate(all_valid)
+        self._lines3d = cluster_world_segments(seg, val, min_views=2)
+        return self._lines3d
+
+    def _run_mesh(self):
+        from eao_slam_tpu.dense.mesh import extract_mesh
+
+        tr = self.tracker
+        poses = np.asarray(tr.map.kf_pose)[self._semidense_slots]
+        cam = self.cfg.camera
+        self._mesh_tris, _ = extract_mesh(
+            cam, self._semidense_result, poses, cam.height, cam.width
+        )
+        return self._mesh_tris
 
     def _run_semidense(self):
         from eao_slam_tpu.dense import semidense_reconstruct
@@ -85,6 +130,7 @@ class System:
                  and tr.kf_valid_host[s]]
         if len(slots) < 4:
             return None
+        self._semidense_slots = slots
         imgs = np.stack([self._kf_images[s] for s in slots])
         poses = np.asarray(tr.map.kf_pose)[slots]
 
@@ -154,6 +200,20 @@ class System:
         if self._semidense_result is None:
             return 0
         return save_obj(path, self._semidense_result)
+
+    def save_lines_obj(self, path: str) -> int:
+        from eao_slam_tpu.dense.lines3d import save_lines_obj
+
+        if self._lines3d is None or len(self._lines3d) == 0:
+            return 0
+        return save_lines_obj(path, self._lines3d)
+
+    def save_mesh_obj(self, path: str) -> int:
+        from eao_slam_tpu.dense.mesh import save_mesh_obj
+
+        if self._mesh_tris is None or len(self._mesh_tris) == 0:
+            return 0
+        return save_mesh_obj(path, self._mesh_tris)
 
     # ------------------------------------------------------------------
 
