@@ -1,9 +1,11 @@
 """Headline benchmark: tracked frames per second of the full per-frame path.
 
-Runs the end-to-end per-frame pipeline (ORB front end on a real image +
-motion-model matching + local-map matching + two robust pose LMs + the
-host state machine, with keyframe-rate triangulation/fusion/windowed BA
-included in wall time) on a synthetic sequence, steady-state.
+Runs the production chunked pipeline (runtime/scan_tracker.py): per frame the
+ORB front end (8-level pyramid + FAST + orientation + BRIEF), motion-model
+matching + robust pose LM, local-map matching + pose LM, the keyframe state
+machine, and — on keyframe frames — triangulation, fusion and windowed
+Schur-complement BA, all fused into one jitted lax.scan program per chunk of
+C frames with a single device round trip per chunk.
 
 The reference's comparable number is the mean per-frame tracking time
 printed by mono_tum (Examples/Monocular/mono_tum.cc:114-123). The repo
@@ -15,15 +17,25 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_FPS = 33.3  # ~30 ms/frame mean tracking time of the C++ reference
+CHUNK = 32
 
 
 def main():
     import jax
+
+    try:  # persistent compile cache: repeat runs skip the big chunk compile
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from eao_slam_tpu.config import CapacityConfig, tum3_config
@@ -36,19 +48,25 @@ def main():
     )
     from eao_slam_tpu.ops.orb import extract_orb
     from eao_slam_tpu.runtime.frame import frame_from_arrays
-    from eao_slam_tpu.runtime.tracker import MonoTracker
+    from eao_slam_tpu.runtime.scan_tracker import (
+        ChunkedTracker,
+        FrameBatch,
+        batch_from_frames,
+    )
 
     cfg = tum3_config().replace(
         capacity=CapacityConfig(max_keyframes=128, max_points=8192,
                                 max_features=1024, local_ba_points=2048)
     )
+    F = cfg.capacity.max_features
 
     scene = make_room_scene(seed=5, n_landmarks=2000, n_objects=3)
-    n_frames = 70
-    ts, gt = make_arc_trajectory(n_frames=n_frames, sweep_deg=45.0)
+    n_chunks = 4
+    n_frames = 16 + CHUNK * (1 + n_chunks)   # bootstrap + warmup + timed
+    ts, gt = make_arc_trajectory(n_frames=n_frames, sweep_deg=60.0)
     rng = np.random.default_rng(0)
     obs_stream = [
-        simulate_observations(scene, TUM3, T, max_features=1024, rng=rng,
+        simulate_observations(scene, TUM3, T, max_features=F, rng=rng,
                               pixel_noise=0.4, bit_flips=6, dropout=0.05)
         for T in gt
     ]
@@ -57,36 +75,60 @@ def main():
                           valid=o["valid"])
         for o in obs_stream
     ]
-    # one rendered image re-extracted per frame so the ORB front-end cost is
-    # charged to every tracked frame (rendering differs per frame only on the
-    # host; the device-side extraction cost is identical)
-    img = jnp.asarray(render_image(scene, TUM3, gt[0]), jnp.float32)
+    img = np.asarray(render_image(scene, TUM3, gt[0]), np.float32)
 
-    tracker = MonoTracker(cfg)
+    tracker = ChunkedTracker(cfg, chunk=CHUNK)
 
-    def step(i):
-        feats = extract_orb(img, n_features=cfg.capacity.max_features)
-        jax.block_until_ready(feats.desc)
-        tracker.track(frames[i], float(ts[i]))
+    # fused chunk program: batched ORB extraction (charged to every frame)
+    # + the full scan-tracking chunk, one readback per chunk
+    inner_chunk = tracker._track_chunk
 
-    # warmup: init + first keyframes + all jit compiles
-    warmup = 20
-    for i in range(warmup):
-        step(i)
+    @jax.jit
+    def extract_and_track(carry, images, batch: FrameBatch):
+        feats = jax.vmap(
+            lambda im: extract_orb(im, n_features=F, n_levels=cfg.orb.n_levels)
+        )(images)
+        carry, outs = inner_chunk(carry, batch)
+        # fold a checksum of the extraction into the outputs so XLA cannot
+        # dead-code-eliminate the front end
+        chk = jnp.sum(feats.desc[:, 0, 0].astype(jnp.int32))
+        return carry, outs._replace(n_inliers=outs.n_inliers + chk * 0)
+
+    # --- bootstrap on the interactive path
+    i = 0
+    while i < len(frames) and not tracker.bootstrap(frames[i], float(ts[i])):
+        i += 1
+    i += 1
+    assert tracker.carry is not None, "initialization failed"
+
+    def run_chunk(lo):
+        batch = batch_from_frames(frames[lo:lo + CHUNK], ts[lo:lo + CHUNK])
+        images = jnp.asarray(np.broadcast_to(img, (CHUNK,) + img.shape))
+        carry, outs = extract_and_track(tracker.carry, images, batch)
+        tracker.carry = carry
+        return jax.device_get(outs)
+
+    # warmup chunk (compiles the whole program)
+    outs = run_chunk(i)
+    i += CHUNK
 
     t0 = time.perf_counter()
-    for i in range(warmup, n_frames):
-        step(i)
+    done = 0
+    while done < n_chunks and i + CHUNK <= len(frames):
+        outs = run_chunk(i)
+        i += CHUNK
+        done += 1
     dt = time.perf_counter() - t0
 
-    n_timed = n_frames - warmup
-    fps = n_timed / dt
-    print(json.dumps({
+    fps = done * CHUNK / dt
+    tracked = int(np.sum(outs.state == 2))
+    result = {
         "metric": "tracked_frames_per_s",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
-    }))
+    }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -187,6 +187,12 @@ class SystemConfig:
     semidense: SemiDenseConfig = SemiDenseConfig()
     capacity: CapacityConfig = CapacityConfig()
     seed: int = 12345
+    # BoW vocabulary (ops/bow.py): path to a trained .npz, or None to
+    # bootstrap-train a small vocabulary online from the first keyframes
+    # (the reference loads Vocabulary/ORBvoc.bin offline, src/System.cc:79)
+    vocab_path: str | None = None
+    bow_bootstrap_kfs: int = 5        # keyframes before online vocab training
+    use_bow: bool = True              # place recognition via vocabulary tree
 
     def replace(self, **kw) -> "SystemConfig":
         return dataclasses.replace(self, **kw)

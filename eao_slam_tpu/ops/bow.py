@@ -1,0 +1,249 @@
+"""Hierarchical bag-of-binary-words vocabulary (DBoW2 equivalent).
+
+TPU-native replacement for the vendored DBoW2 library
+(Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h, FORB.cpp, BowVector.cpp,
+FeatureVector.cpp, ScoringObject.cpp — SURVEY.md §2.2): the k-ary
+vocabulary tree is stored as one centroid table per level in an *implicit
+complete-tree layout*, so quantizing a whole frame's descriptors is L
+rounds of
+
+    gather the current group's k child centroids -> XOR + popcount
+    hamming -> argmin -> descend,
+
+fully vectorized over features (the reference walks the tree per
+descriptor with pointer chasing, TemplatedVocabulary.h `transform`).
+
+Covered capabilities:
+- `build_vocabulary`   — hierarchical binary k-medians with majority-bit
+                         cluster means (FORB::meanValue semantics) and
+                         tf-idf weights (TemplatedVocabulary::create /
+                         setNodeWeights).
+- `quantize`           — batched word-id + direct-index (FeatureVector
+                         node at a fixed level, used to bucket matching —
+                         ORBmatcher::SearchByBoW's FeatureVector loop).
+- `bow_vector`         — L1-normalized tf-idf histogram (BowVector).
+- `score_l1`           — DBoW2 L1 scoring s = 1 - 0.5*|v1 - v2|_1 against
+                         a whole keyframe database in one op
+                         (ScoringObject.cpp L1Scoring).
+- `bow_match_mask`     — same-node feasibility mask handed to the dense
+                         matcher, the BoW-bucketed brute-force regime.
+- `save_vocabulary` / `load_vocabulary` — .npz serialization, the
+  text<->binary vocabulary tool parity (tools/bin_vocabulary.cc:1-52,
+  TemplatedVocabulary.h:1439-1486).
+
+The default geometry is k=10, L=4 (10 000 words). The reference ships a
+k=10, L=6 (1M word) vocabulary trained offline on Bovisa; at this
+framework's fixed capacities (<=2k features, <=512 keyframes) 10k words
+keep the dense [K, W] score matrix tiny (<= 20 MB) while the per-level
+descent cost is identical.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Vocabulary(NamedTuple):
+    """Implicit complete k-ary tree.
+
+    levels[l] is a [k**(l+1), 8] uint32 centroid table: the children of
+    group g at level l are rows g*k .. g*k+k-1. A descriptor's group id
+    after descending level l is its word id in a k**(l+1)-word vocabulary;
+    the id after the last level is the final word id. Branching factor and
+    depth are derived from shapes so the pytree stays jit-friendly.
+    """
+
+    levels: Sequence[jnp.ndarray]  # L tables, level l: [k^(l+1), 8] uint32
+    idf: jnp.ndarray               # [k^L] float32 word weights
+
+    @property
+    def k(self) -> int:
+        return int(self.levels[0].shape[0])
+
+    @property
+    def depth(self) -> int:
+        return len(self.levels)
+
+    @property
+    def n_words(self) -> int:
+        return int(self.levels[-1].shape[0])
+
+
+# ---------------------------------------------------------------------------
+# build (host-side numpy; offline, like the reference's vocabulary training)
+# ---------------------------------------------------------------------------
+
+
+def _np_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[N,8]u32 x [M,8]u32 -> [N,M] int popcount(xor)."""
+    x = a[:, None, :] ^ b[None, :, :]
+    x = x.view(np.uint8).reshape(a.shape[0], b.shape[0], 32)
+    return np.unpackbits(x, axis=2).sum(axis=2).astype(np.int32)
+
+
+def _np_mean_descriptor(desc: np.ndarray) -> np.ndarray:
+    """Majority vote per bit (FORB::meanValue): bit set iff more than half
+    of the cluster's descriptors have it set."""
+    bits = np.unpackbits(desc.view(np.uint8), axis=1)  # [N, 256]
+    maj = (bits.sum(axis=0) * 2 > desc.shape[0]).astype(np.uint8)
+    return np.packbits(maj).view(np.uint32).copy()
+
+
+def _kmedians(desc: np.ndarray, k: int, rng: np.random.Generator,
+              iters: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Binary k-medians: hamming assignment + majority-bit means.
+    Returns (centroids [k,8], assignment [N])."""
+    n = desc.shape[0]
+    if n == 0:
+        return np.zeros((k, 8), np.uint32), np.zeros((0,), np.int64)
+    # kmeans++-light seeding on hamming distance
+    first = int(rng.integers(n))
+    cent = [desc[first]]
+    d = _np_hamming(desc, desc[first:first + 1])[:, 0].astype(np.float64)
+    for _ in range(1, min(k, n)):
+        p = d * d
+        s = p.sum()
+        j = int(rng.integers(n)) if s <= 0 else int(
+            rng.choice(n, p=p / s))
+        cent.append(desc[j])
+        d = np.minimum(d, _np_hamming(desc, desc[j:j + 1])[:, 0])
+    while len(cent) < k:           # degenerate cluster: duplicate seed 0
+        cent.append(cent[0])
+    C = np.stack(cent)
+    assign = np.zeros((n,), np.int64)
+    for _ in range(iters):
+        assign = _np_hamming(desc, C).argmin(axis=1)
+        newC = C.copy()
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                newC[j] = _np_mean_descriptor(desc[m])
+        if (newC == C).all():
+            break
+        C = newC
+    assign = _np_hamming(desc, C).argmin(axis=1)
+    return C, assign
+
+
+def build_vocabulary(descriptors: np.ndarray, k: int = 10, depth: int = 4,
+                     seed: int = 12345, max_train: int = 60_000) -> Vocabulary:
+    """Train the k^depth-word tree on packed uint32[...,8] descriptors
+    (TemplatedVocabulary::create). Deterministic for a fixed seed."""
+    rng = np.random.default_rng(seed)
+    desc = np.asarray(descriptors, np.uint32).reshape(-1, 8)
+    if desc.shape[0] > max_train:
+        desc = desc[rng.choice(desc.shape[0], max_train, replace=False)]
+
+    levels: list[np.ndarray] = []
+    # groups[i] = group id at the current level for training descriptor i
+    groups = np.zeros((desc.shape[0],), np.int64)
+    for lvl in range(depth):
+        n_groups = k ** lvl
+        table = np.zeros((n_groups * k, 8), np.uint32)
+        new_groups = np.zeros_like(groups)
+        for g in range(n_groups):
+            m = groups == g
+            C, assign = _kmedians(desc[m], k, rng)
+            table[g * k:(g + 1) * k] = C
+            new_groups[m] = g * k + assign
+        levels.append(table)
+        groups = new_groups
+
+    # idf over the training corpus, treating chunks of ~500 descriptors as
+    # documents (TemplatedVocabulary::setNodeWeights uses training images)
+    n_words = k ** depth
+    doc = np.arange(desc.shape[0]) // 500
+    n_docs = int(doc.max()) + 1 if desc.shape[0] else 1
+    seen = np.zeros((n_words,), np.int64)
+    for d in range(n_docs):
+        seen[np.unique(groups[doc == d])] += 1
+    idf = np.log(n_docs / np.maximum(seen, 1)).astype(np.float32)
+    idf[seen == 0] = 0.0           # unseen words carry no evidence
+
+    return Vocabulary(
+        levels=tuple(jnp.asarray(t) for t in levels),
+        idf=jnp.asarray(idf),
+    )
+
+
+def save_vocabulary(path: str, voc: Vocabulary) -> None:
+    np.savez_compressed(
+        path, depth=voc.depth, idf=np.asarray(voc.idf),
+        **{f"level{l}": np.asarray(t) for l, t in enumerate(voc.levels)},
+    )
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    z = np.load(path)
+    depth = int(z["depth"])
+    return Vocabulary(
+        levels=tuple(jnp.asarray(z[f"level{l}"]) for l in range(depth)),
+        idf=jnp.asarray(z["idf"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# device-side quantization + scoring
+# ---------------------------------------------------------------------------
+
+
+def _popcount_rows(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(
+        jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("direct_level",))
+def quantize(voc: Vocabulary, desc: jnp.ndarray, direct_level: int = 2):
+    """Descend the tree for every descriptor.
+
+    desc: [F, 8] uint32 -> (word [F] int32 in [0, k^L),
+                            node [F] int32 group id at `direct_level`).
+    `node` is the FeatureVector direct index used to bucket SearchByBoW.
+    """
+    k = voc.k
+    g = jnp.zeros((desc.shape[0],), jnp.int32)
+    node = g
+    for lvl, table in enumerate(voc.levels):
+        child = table[g[:, None] * k + jnp.arange(k)[None, :]]  # [F,k,8]
+        d = _popcount_rows(jnp.bitwise_xor(child, desc[:, None, :]))
+        g = g * k + jnp.argmin(d, axis=1).astype(jnp.int32)
+        if lvl + 1 == direct_level:
+            node = g
+    return g, node
+
+
+@jax.jit
+def bow_vector(voc: Vocabulary, word: jnp.ndarray,
+               valid: jnp.ndarray) -> jnp.ndarray:
+    """L1-normalized tf-idf histogram (BowVector + Frame::ComputeBoW)."""
+    v = jnp.zeros((voc.n_words,), jnp.float32).at[word].add(
+        valid.astype(jnp.float32))
+    v = v * voc.idf
+    return v / jnp.maximum(jnp.sum(jnp.abs(v)), 1e-9)
+
+
+@jax.jit
+def score_l1(db: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """DBoW2 L1 score of q against every row of db: 1 - 0.5*|a-b|_1,
+    in [0, 1] for L1-normalized vectors. db: [K, W], q: [W] -> [K]."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(db - q[None, :]), axis=1)
+
+
+@jax.jit
+def common_words(db_nonzero: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Number of shared words with every database row
+    (KeyFrameDatabase.cc:75-117 inverted-file sharing-word count).
+    db_nonzero: [K, W] bool, q: [W] -> [K] int32."""
+    return jnp.sum(db_nonzero & (q > 0)[None, :], axis=1).astype(jnp.int32)
+
+
+def bow_match_mask(node_a: jnp.ndarray, node_b: jnp.ndarray) -> jnp.ndarray:
+    """[Na] x [Nb] -> [Na, Nb] bool: features may match only inside the
+    same direct-index node — the SearchByBoW bucket rule
+    (src/ORBmatcher.cc SearchByBoW FeatureVector iteration)."""
+    return node_a[:, None] == node_b[None, :]

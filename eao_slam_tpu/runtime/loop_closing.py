@@ -116,24 +116,47 @@ class LoopCloser:
         return w
 
     def _detect(self, tracker, slot: int, order: int) -> Optional[int]:
-        """DetectLoop: score gate + 3-consecutive-keyframe consistency."""
+        """DetectLoop: score gate + 3-consecutive-keyframe consistency.
+        Uses the BoW vocabulary database when the tracker has one
+        (KeyFrameDatabase::DetectLoopCandidates), the codebook-free
+        signature scoring otherwise."""
         covis = self._covis_weights(tracker, slot)
-        scores = self.signatures[: self.cfg.capacity.max_keyframes] @ self.signatures[slot]
-
-        # minimum acceptable score = worst score among covisible neighbors
-        neigh = covis >= 15
-        min_score = float(scores[neigh].min()) if neigh.any() else 0.3
-        min_score = max(min_score, 0.15)
-
         recent = set(tracker.kf_slots[-8:])
-        best_cand, best_score = None, 0.0
-        for s in tracker.kf_slots:
-            if s == slot or s in recent or not tracker.kf_valid_host[s]:
-                continue
-            if covis[s] > 0:            # connected -> not a loop
-                continue
-            if scores[s] >= min_score and scores[s] > best_score:
-                best_cand, best_score = s, float(scores[s])
+        best_cand = None
+
+        if tracker.kfdb is not None and tracker.vocab is not None:
+            from eao_slam_tpu.ops import bow
+
+            q = tracker.kfdb.vectors[slot]
+            full_covis = tracker.covis_matrix()
+            neigh = np.flatnonzero(covis >= 15)
+            if neigh.size:
+                nscores = np.asarray(bow.score_l1(
+                    tracker.kfdb.vectors[neigh], q))
+                min_score = max(float(nscores.min()), 0.05)
+            else:
+                min_score = 0.15
+            cands = tracker.kfdb.detect_loop_candidates(
+                q, covis, full_covis, min_score, slot)
+            for s in cands:
+                if s not in recent and tracker.kf_valid_host[s]:
+                    best_cand = s
+                    break
+        else:
+            scores = self.signatures[: self.cfg.capacity.max_keyframes] @ self.signatures[slot]
+            # minimum acceptable score = worst score among covisible neighbors
+            neigh = covis >= 15
+            min_score = float(scores[neigh].min()) if neigh.any() else 0.3
+            min_score = max(min_score, 0.15)
+
+            best_score = 0.0
+            for s in tracker.kf_slots:
+                if s == slot or s in recent or not tracker.kf_valid_host[s]:
+                    continue
+                if covis[s] > 0:            # connected -> not a loop
+                    continue
+                if scores[s] >= min_score and scores[s] > best_score:
+                    best_cand, best_score = s, float(scores[s])
 
         if best_cand is None:
             self.consistent_streak.clear()

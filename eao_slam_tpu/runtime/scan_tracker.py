@@ -1,0 +1,530 @@
+"""Chunked device-resident tracking: N frames per jitted program.
+
+The interactive MonoTracker (runtime/tracker.py) makes host decisions every
+frame, which costs one device<->host synchronization per decision. On real
+TPU deployments every readback is a ~tens-of-ms protocol round trip, so the
+production path processes frames in *chunks*: one `lax.scan` over C frames
+runs the full per-frame pipeline — motion-model matching + robust pose LM,
+local-map matching + pose LM, the keyframe state machine, and (under
+`lax.cond`, executed only on keyframe frames) keyframe insertion,
+epipolar triangulation with the top covisible neighbors, map-point fusion,
+windowed Schur-complement BA, and point culling — entirely on device, and
+the host reads back one small pose/state bundle per chunk.
+
+This is the idiomatic-TPU replacement for the reference's
+Tracking/LocalMapping thread pair (src/Tracking.cc:562-804,
+src/LocalMapping.cc:42-117): instead of two threads racing on a mutex-guarded
+map (Map::mMutexMapUpdate, src/Tracking.cc:572), mapping runs as a
+conditional stage of the same sequential device program — deterministic, and
+with zero per-frame host traffic (SURVEY.md §7.3 "host-device ping-pong").
+
+In-chunk loss handling mirrors TrackReferenceKeyFrame re-acquisition: a LOST
+frame retries a brute match against the reference keyframe from the last
+pose. Full relocalization (BoW candidates + EPnP RANSAC,
+src/Tracking.cc:2184) and loop closing stay host-side between chunks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eao_slam_tpu.config import SystemConfig
+from eao_slam_tpu.geometry import se3
+from eao_slam_tpu.ops import matching
+from eao_slam_tpu.runtime import tracking_kernels as tk
+from eao_slam_tpu.runtime.frame import Frame
+from eao_slam_tpu.runtime.local_mapping import (
+    fuse_into_keyframe,
+    triangulate_with_neighbor,
+)
+from eao_slam_tpu.runtime.map_state import MapState
+from eao_slam_tpu.solvers.ba import BAProblem, local_ba
+
+OK = 2
+LOST = 3
+
+LOG_SCALE = 0.1823215568  # log(1.2)
+
+
+class ChunkCarry(NamedTuple):
+    """Fixed-shape device state threaded through the per-frame scan."""
+
+    m: MapState
+    T_last: jnp.ndarray        # [3, 4]
+    velocity: jnp.ndarray      # [3, 4] (identity when vel_ok is False)
+    vel_ok: jnp.ndarray        # bool
+    last_kp: jnp.ndarray       # [F, 2]
+    last_desc: jnp.ndarray     # [F, 8] uint32
+    last_octave: jnp.ndarray   # [F]
+    last_angle: jnp.ndarray    # [F]
+    last_valid: jnp.ndarray    # [F]
+    last_pt: jnp.ndarray       # [F]
+    state: jnp.ndarray         # int32
+    frames_since_kf: jnp.ndarray
+    ref_kf_tracked: jnp.ndarray
+    peak_since_kf: jnp.ndarray
+    kf_count: jnp.ndarray      # int32 — monotonic keyframe slot allocator
+    pt_count: jnp.ndarray      # int32 — monotonic point slot allocator
+    frame_id: jnp.ndarray      # int32
+
+
+class ChunkOutputs(NamedTuple):
+    T: jnp.ndarray         # [C, 3, 4]
+    state: jnp.ndarray     # [C]
+    n_inliers: jnp.ndarray  # [C]
+    is_kf: jnp.ndarray     # [C] bool
+
+
+class FrameBatch(NamedTuple):
+    """Stacked front-end outputs for one chunk: [C, ...] arrays."""
+
+    kp: jnp.ndarray
+    desc: jnp.ndarray
+    octave: jnp.ndarray
+    angle: jnp.ndarray
+    valid: jnp.ndarray
+    timestamp: jnp.ndarray  # [C]
+
+
+# ---------------------------------------------------------------------------
+# device-side local mapping (keyframe branch)
+# ---------------------------------------------------------------------------
+
+
+def _insert_point_rows(m: MapState, slot, nb_slot, tri, pt_count, scale_factors):
+    """Scatter triangulated points into the point tables with a monotonic
+    allocator (fixed shapes; overflow drops via the P sentinel)."""
+    P = m.pt_pos.shape[0]
+    F = tri.good.shape[0]
+    good = tri.good
+    rank = jnp.cumsum(good.astype(jnp.int32)) - 1
+    dest = jnp.where(good, pt_count + rank, P)
+    dest = jnp.where(dest < P, dest, P).astype(jnp.int32)
+    placed = good & (dest < P)
+
+    X = tri.points
+    T1 = m.kf_pose[slot]
+    O1 = se3.trans(se3.inverse(T1))
+    view = X - O1[None, :]
+    dist = jnp.linalg.norm(view, axis=-1)
+    oct1 = jnp.clip(m.kf_octave[slot], 0, scale_factors.shape[0] - 1)
+    max_d = dist * scale_factors[oct1]
+    min_d = max_d / scale_factors[-1]
+    normal = view / jnp.maximum(dist, 1e-9)[:, None]
+
+    m = m._replace(
+        pt_pos=m.pt_pos.at[dest].set(X, mode="drop"),
+        pt_valid=m.pt_valid.at[dest].set(placed, mode="drop"),
+        pt_desc=m.pt_desc.at[dest].set(m.kf_desc[slot], mode="drop"),
+        pt_normal=m.pt_normal.at[dest].set(normal, mode="drop"),
+        pt_min_dist=m.pt_min_dist.at[dest].set(min_d, mode="drop"),
+        pt_max_dist=m.pt_max_dist.at[dest].set(max_d, mode="drop"),
+        pt_first_kf=m.pt_first_kf.at[dest].set(slot, mode="drop"),
+    )
+    row1 = jnp.where(placed, dest, m.kf_pt_idx[slot])
+    # neighbor side: feature idx2[f] observes the same new point
+    nb_row = m.kf_pt_idx[nb_slot].at[tri.idx2].max(jnp.where(placed, dest, -1))
+    m = m._replace(
+        kf_pt_idx=m.kf_pt_idx.at[slot].set(row1).at[nb_slot].set(nb_row)
+    )
+    return m, pt_count + jnp.sum(placed.astype(jnp.int32))
+
+
+def _window_ba(cam, m: MapState, kf_count, W, Pl, scale2):
+    """Fixed-shape on-device windowed BA: compact the last-W keyframe window's
+    point set with a sort-based unique, run the 5+10 LM schedule
+    (src/Optimizer.cc:459-796), scatter results back."""
+    K, F = m.kf_pt_idx.shape
+    P = m.pt_pos.shape[0]
+
+    # window = last W insertion orders (monotonic allocator => orders == slots)
+    first = jnp.maximum(kf_count - W, 0)
+    win = jnp.clip(first + jnp.arange(W), 0, K - 1)            # [W]
+    win_valid = (first + jnp.arange(W)) < kf_count
+
+    kf_pt = m.kf_pt_idx[win]                                   # [W, F]
+    obs_mask = (kf_pt >= 0) & m.kf_kp_valid[win] & win_valid[:, None]
+    pt_of_obs = jnp.where(obs_mask, kf_pt, P)
+
+    # sort-based unique -> local point index (rank)
+    flat = jnp.sort(pt_of_obs.reshape(-1))                     # [W*F]
+    is_first = (flat < P) & jnp.concatenate(
+        [jnp.ones((1,), bool), flat[1:] != flat[:-1]]
+    )
+    rank_sorted = jnp.cumsum(is_first.astype(jnp.int32)) - 1   # rank per sorted pos
+    remap = jnp.full((P + 1,), -1, jnp.int32).at[flat].set(
+        jnp.where(is_first & (rank_sorted < Pl), rank_sorted, -1), mode="drop"
+    )
+    # propagate rank to duplicates of the same id
+    remap = remap.at[P].set(-1)
+    local_pt = remap[jnp.clip(kf_pt, 0, P)]                    # [W, F]
+    # duplicates got -1 above (only the first occurrence had is_first);
+    # rebuild by scattering ranks keyed by id: use segment approach
+    # (remap[id] was set only at first occurrence, which IS the id's rank)
+    obs_ok = obs_mask & (local_pt >= 0)
+
+    local2global = jnp.full((Pl,), P, jnp.int32).at[
+        jnp.where(is_first & (rank_sorted < Pl), rank_sorted, Pl)
+    ].set(jnp.where(is_first, flat, P), mode="drop")           # [Pl]
+    lp_valid = local2global < P
+    points0 = m.pt_pos[jnp.clip(local2global, 0, P - 1)]
+
+    inv_s2 = 1.0 / scale2[jnp.clip(m.kf_octave[win], 0, scale2.shape[0] - 1)]
+    kf_idx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[:, None], (W, F))
+
+    fixed = jnp.zeros((W,), bool).at[0].set(True)
+    # keep the global gauge: if keyframe 0 or 1 is inside the window, fix it
+    fixed = fixed | (win <= 1)
+
+    prob = BAProblem(
+        poses=m.kf_pose[win],
+        points=points0,
+        kf_idx=kf_idx.reshape(-1),
+        pt_idx=jnp.clip(local_pt, 0, Pl - 1).reshape(-1),
+        uv=m.kf_kp[win].reshape(-1, 2),
+        inv_sigma2=inv_s2.reshape(-1),
+        obs_valid=obs_ok.reshape(-1),
+        cam_fixed=fixed,
+        cam_valid=win_valid,
+        pt_valid=lp_valid,
+    )
+    res = local_ba(cam, prob)
+
+    # scatter back: poses for valid window slots, points via local2global
+    kf_pose = m.kf_pose.at[jnp.where(win_valid, win, K)].set(
+        res.poses, mode="drop"
+    )
+    pt_pos = m.pt_pos.at[local2global].set(res.points, mode="drop")
+
+    # drop outlier observations (the reference erases the observation pair)
+    inl = res.obs_inlier.reshape(W, F)
+    new_rows = jnp.where(obs_ok & ~inl, -1, kf_pt)
+    kf_pt_idx = m.kf_pt_idx.at[jnp.where(win_valid, win, K)].set(
+        new_rows, mode="drop"
+    )
+    return m._replace(kf_pose=kf_pose, pt_pos=pt_pos, kf_pt_idx=kf_pt_idx)
+
+
+def _cull_points(m: MapState, newest_slot):
+    """MapPointCulling (src/LocalMapping.cc:175): points observed by <2
+    keyframes after their creation window die (mask flip only)."""
+    P = m.pt_pos.shape[0]
+    obs = (m.kf_pt_idx >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    counts = jnp.zeros((P,), jnp.int32).at[
+        jnp.clip(m.kf_pt_idx, 0, P - 1).reshape(-1)
+    ].add(obs.reshape(-1).astype(jnp.int32))
+    stale = m.pt_valid & (counts < 2) & (m.pt_first_kf != newest_slot)
+    return m._replace(pt_valid=m.pt_valid & ~stale)
+
+
+# ---------------------------------------------------------------------------
+# chunk program builder
+# ---------------------------------------------------------------------------
+
+
+def make_chunk_step(cfg: SystemConfig):
+    """Build the per-frame scan body closed over the (static) config."""
+    cam = cfg.camera
+    tcfg = cfg.tracking
+    mcfg = cfg.mapping
+    cap = cfg.capacity
+    W = mcfg.local_ba_kf_window
+    Pl = cap.local_ba_points
+    n_tri_neighbors = min(2, mcfg.triangulation_neighbors)
+
+    from eao_slam_tpu.ops.orb import scale_sigma2
+
+    scale2_const = np.asarray(scale_sigma2(cfg.orb.n_levels, cfg.orb.scale_factor))
+    scale_factors_const = np.sqrt(scale2_const)
+
+    def kf_branch(args):
+        m, kf_count, pt_count, frame, ts, frame_id, T, cur_pt = args
+        K = m.kf_pose.shape[0]
+        scale2 = jnp.asarray(scale2_const)
+        scale_factors = jnp.asarray(scale_factors_const)
+        slot = jnp.minimum(kf_count, K - 1)
+
+        m = m._replace(
+            kf_pose=m.kf_pose.at[slot].set(T),
+            kf_valid=m.kf_valid.at[slot].set(True),
+            kf_timestamp=m.kf_timestamp.at[slot].set(ts),
+            kf_frame_id=m.kf_frame_id.at[slot].set(frame_id),
+            kf_kp=m.kf_kp.at[slot].set(frame[0]),
+            kf_desc=m.kf_desc.at[slot].set(frame[1]),
+            kf_octave=m.kf_octave.at[slot].set(frame[2]),
+            kf_angle=m.kf_angle.at[slot].set(frame[3]),
+            kf_kp_valid=m.kf_kp_valid.at[slot].set(frame[4]),
+            kf_pt_idx=m.kf_pt_idx.at[slot].set(cur_pt),
+        )
+
+        # covisibility weights of the new KF against the last 8 keyframes
+        P = m.pt_pos.shape[0]
+        member = jnp.zeros((P,), bool).at[
+            jnp.clip(cur_pt, 0, P - 1)
+        ].max(cur_pt >= 0)
+        n_recent = 8
+        rfirst = jnp.maximum(kf_count - n_recent, 0)
+        recent = jnp.clip(rfirst + jnp.arange(n_recent), 0, K - 1)
+        rvalid = (rfirst + jnp.arange(n_recent)) < kf_count
+        rows = m.kf_pt_idx[recent]                       # [R, F]
+        hits = member[jnp.clip(rows, 0, P - 1)] & (rows >= 0)
+        weights = jnp.sum(hits, axis=1) * rvalid         # [R]
+
+        # triangulate with the top covisible neighbors
+        for t in range(n_tri_neighbors):
+            order = jnp.argsort(-weights)
+            nb = recent[order[t]]
+            w_nb = weights[order[t]]
+            tri = triangulate_with_neighbor(
+                cam,
+                m.kf_pose[slot], m.kf_kp[slot], m.kf_desc[slot],
+                m.kf_octave[slot], m.kf_kp_valid[slot], m.kf_pt_idx[slot],
+                m.kf_pose[nb], m.kf_kp[nb], m.kf_desc[nb],
+                m.kf_octave[nb], m.kf_kp_valid[nb], m.kf_pt_idx[nb],
+                scale2,
+            )
+            use = (w_nb >= mcfg.min_covis_weight) & (nb != slot)
+            tri = tri._replace(good=tri.good & use)
+            m, pt_count = _insert_point_rows(
+                m, slot, nb, tri, pt_count, scale_factors
+            )
+
+        fused = fuse_into_keyframe(
+            cam, m.pt_pos, m.pt_valid, m.pt_desc, m.pt_min_dist, m.pt_max_dist,
+            m.kf_pose[slot], m.kf_kp[slot], m.kf_desc[slot],
+            m.kf_octave[slot], m.kf_kp_valid[slot], m.kf_pt_idx[slot], scale2,
+        )
+        m = m._replace(kf_pt_idx=m.kf_pt_idx.at[slot].set(fused))
+
+        m = _window_ba(cam, m, kf_count + 1, W, Pl, scale2)
+        m = _cull_points(m, slot)
+        return m, kf_count + 1, pt_count, m.kf_pose[slot], m.kf_pt_idx[slot]
+
+    def no_kf_branch(args):
+        m, kf_count, pt_count, frame, ts, frame_id, T, cur_pt = args
+        return m, kf_count, pt_count, T, cur_pt
+
+    def step(carry: ChunkCarry, xs):
+        kp, desc, octave, angle, valid, ts = xs
+        m = carry.m
+        scale2 = jnp.asarray(scale2_const)
+        frame_id = carry.frame_id + 1
+
+        T_pred = jnp.where(
+            carry.vel_ok,
+            se3.compose(carry.velocity, carry.T_last),
+            carry.T_last,
+        )
+
+        def do_track(_):
+            r1 = tk.track_motion_model(
+                cam, m.pt_pos, m.pt_valid, T_pred,
+                carry.last_kp, carry.last_desc, carry.last_octave,
+                carry.last_angle, carry.last_valid, carry.last_pt,
+                kp, desc, octave, angle, valid, scale2,
+                radius=cfg.matcher.search_radius_motion,
+            )
+
+            def ref_fallback(_):
+                ref = jnp.minimum(carry.kf_count - 1, m.kf_pose.shape[0] - 1)
+                return tk.track_reference_kf(
+                    cam, m.pt_pos, m.pt_valid, carry.T_last,
+                    m.kf_desc[ref], m.kf_kp_valid[ref], m.kf_pt_idx[ref],
+                    kp, desc, octave, valid, scale2,
+                )
+
+            r1 = jax.lax.cond(
+                r1.n_inliers < tcfg.min_inliers_after_pose,
+                ref_fallback, lambda _: r1, None,
+            )
+            r2 = tk.track_local_map_step(
+                cam, m.pt_pos, m.pt_valid, m.pt_desc, m.pt_normal,
+                m.pt_min_dist, m.pt_max_dist, r1.T, r1.cur_pt,
+                kp, desc, octave, valid, scale2, n_levels=cfg.orb.n_levels,
+            )
+            ok1 = r1.n_inliers >= tcfg.min_inliers_after_pose
+            return r2.T, r2.cur_pt, jnp.where(ok1, r2.n_inliers, 0)
+
+        def reacquire(_):
+            # LOST: retry against the reference keyframe from the last pose
+            ref = jnp.minimum(carry.kf_count - 1, m.kf_pose.shape[0] - 1)
+            r = tk.track_reference_kf(
+                cam, m.pt_pos, m.pt_valid, carry.T_last,
+                m.kf_desc[ref], m.kf_kp_valid[ref], m.kf_pt_idx[ref],
+                kp, desc, octave, valid, scale2,
+            )
+            r2 = tk.track_local_map_step(
+                cam, m.pt_pos, m.pt_valid, m.pt_desc, m.pt_normal,
+                m.pt_min_dist, m.pt_max_dist, r.T, r.cur_pt,
+                kp, desc, octave, valid, scale2, n_levels=cfg.orb.n_levels,
+            )
+            ok1 = r.n_inliers >= tcfg.min_inliers_after_pose
+            return r2.T, r2.cur_pt, jnp.where(ok1, r2.n_inliers, 0)
+
+        T, cur_pt, n2 = jax.lax.cond(carry.state == OK, do_track, reacquire, None)
+        tracked = n2 >= tcfg.min_tracked_for_ok
+
+        # keyframe policy (Tracking::NeedNewKeyFrame, src/Tracking.cc:1777)
+        frames_since = carry.frames_since_kf + 1
+        peak = jnp.maximum(carry.peak_since_kf, n2)
+        base = jnp.maximum(jnp.maximum(carry.ref_kf_tracked, peak), 1)
+        c1 = frames_since >= tcfg.max_frames_between_kf
+        c2 = n2 < tcfg.kf_tracked_ratio * base.astype(jnp.float32)
+        need_kf = (
+            tracked
+            & (c1 | c2)
+            & (n2 > tcfg.min_matches_ref_kf)
+            & (carry.kf_count < m.kf_pose.shape[0])
+        )
+
+        frame = (kp, desc, octave, angle, valid)
+        m2, kf_count, pt_count, T_out, cur_pt_out = jax.lax.cond(
+            need_kf, kf_branch, no_kf_branch,
+            (m, carry.kf_count, carry.pt_count, frame, ts, frame_id, T, cur_pt),
+        )
+
+        vel_ok = tracked & ~need_kf & (carry.state == OK)
+        velocity = jnp.where(
+            vel_ok,
+            se3.compose(T_out, se3.inverse(carry.T_last)),
+            jnp.eye(3, 4, dtype=jnp.float32),
+        )
+
+        new_carry = ChunkCarry(
+            m=m2,
+            T_last=jnp.where(tracked, T_out, carry.T_last),
+            velocity=velocity,
+            vel_ok=vel_ok,
+            last_kp=kp, last_desc=desc, last_octave=octave,
+            last_angle=angle, last_valid=valid,
+            last_pt=jnp.where(tracked, cur_pt_out, carry.last_pt),
+            state=jnp.where(tracked, OK, LOST).astype(jnp.int32),
+            frames_since_kf=jnp.where(need_kf, 0, frames_since).astype(jnp.int32),
+            ref_kf_tracked=jnp.where(need_kf, n2, carry.ref_kf_tracked).astype(jnp.int32),
+            peak_since_kf=jnp.where(need_kf, n2, peak).astype(jnp.int32),
+            kf_count=kf_count.astype(jnp.int32),
+            pt_count=pt_count.astype(jnp.int32),
+            frame_id=frame_id,
+        )
+        out = (T_out, new_carry.state, n2, need_kf)
+        return new_carry, out
+
+    return step
+
+
+def make_track_chunk(cfg: SystemConfig):
+    """Returns track_chunk(carry, batch) -> (carry, ChunkOutputs), jitted."""
+    step = make_chunk_step(cfg)
+
+    @jax.jit
+    def track_chunk(carry: ChunkCarry, batch: FrameBatch):
+        xs = (batch.kp, batch.desc, batch.octave, batch.angle,
+              batch.valid, batch.timestamp)
+        carry, outs = jax.lax.scan(step, carry, xs)
+        return carry, ChunkOutputs(*outs)
+
+    return track_chunk
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+
+class ChunkedTracker:
+    """Production-throughput tracker: host-side init via MonoTracker, then
+    device-resident chunked tracking with one readback per chunk."""
+
+    def __init__(self, cfg: SystemConfig, chunk: int = 32):
+        from eao_slam_tpu.runtime.tracker import MonoTracker
+
+        self.cfg = cfg
+        self.chunk = chunk
+        self.inner = MonoTracker(cfg)
+        self.carry: Optional[ChunkCarry] = None
+        self._track_chunk = make_track_chunk(cfg)
+        self.records: list = []   # (timestamp, T 3x4 np or None, state)
+
+    # -- bootstrap ------------------------------------------------------
+
+    def bootstrap(self, frame: Frame, timestamp: float) -> bool:
+        """Feed frames one at a time until two-view init succeeds.
+        Returns True once the map exists and chunked mode is armed."""
+        T = self.inner.track(frame, timestamp)
+        self.records.append((timestamp, None if T is None else np.asarray(T),
+                             self.inner.state))
+        if self.inner.state == OK:
+            self._arm()
+            return True
+        return False
+
+    def _arm(self):
+        t = self.inner
+        F = self.cfg.capacity.max_features
+        lf = t.last_frame
+        self.carry = ChunkCarry(
+            m=t.map,
+            T_last=jnp.asarray(t.last_T, jnp.float32),
+            velocity=jnp.eye(3, 4, dtype=jnp.float32),
+            vel_ok=jnp.asarray(False),
+            last_kp=lf.kp, last_desc=lf.desc, last_octave=lf.octave,
+            last_angle=lf.angle, last_valid=lf.valid,
+            last_pt=jnp.asarray(t.last_pt, jnp.int32)
+            if t.last_pt is not None else jnp.full((F,), -1, jnp.int32),
+            state=jnp.asarray(OK, jnp.int32),
+            frames_since_kf=jnp.asarray(0, jnp.int32),
+            ref_kf_tracked=jnp.asarray(t.ref_kf_tracked, jnp.int32),
+            peak_since_kf=jnp.asarray(t.peak_since_kf, jnp.int32),
+            kf_count=jnp.asarray(len(t.kf_slots), jnp.int32),
+            pt_count=jnp.asarray(t.n_points, jnp.int32),
+            frame_id=jnp.asarray(t.frame_id, jnp.int32),
+        )
+
+    # -- chunked tracking ------------------------------------------------
+
+    def track_batch(self, batch: FrameBatch) -> ChunkOutputs:
+        """Track one chunk of frames; a single device round trip."""
+        assert self.carry is not None, "call bootstrap() until it returns True"
+        self.carry, outs = self._track_chunk(self.carry, batch)
+        host = jax.device_get(outs)
+        ts = np.asarray(batch.timestamp)
+        for i in range(len(ts)):
+            ok = host.state[i] == OK
+            self.records.append(
+                (float(ts[i]), host.T[i] if ok else None, int(host.state[i]))
+            )
+        return host
+
+    # -- exports ----------------------------------------------------------
+
+    def frame_trajectory(self):
+        recs = [(t, T) for t, T, s in self.records if T is not None]
+        ts = np.array([t for t, _ in recs])
+        Ts = np.stack([T for _, T in recs]) if recs else np.zeros((0, 3, 4))
+        return ts, Ts
+
+    def keyframe_trajectory(self):
+        m = self.carry.m if self.carry is not None else self.inner.map
+        kf_valid = np.asarray(m.kf_valid)
+        ts = np.asarray(m.kf_timestamp)[kf_valid]
+        Ts = np.asarray(m.kf_pose)[kf_valid]
+        order = np.argsort(ts)
+        return ts[order], Ts[order]
+
+
+def batch_from_frames(frames, timestamps) -> FrameBatch:
+    """Stack a list of Frame into one chunk (host-side, one staging)."""
+    return FrameBatch(
+        kp=jnp.stack([f.kp for f in frames]),
+        desc=jnp.stack([f.desc for f in frames]),
+        octave=jnp.stack([f.octave for f in frames]),
+        angle=jnp.stack([f.angle for f in frames]),
+        valid=jnp.stack([f.valid for f in frames]),
+        timestamp=jnp.asarray(np.asarray(timestamps, np.float32)),
+    )

@@ -107,6 +107,20 @@ class MonoTracker:
 
             self.loop_closer = LoopCloser(cfg)
 
+        # --- BoW vocabulary + recognition database (DBoW2/KeyFrameDatabase
+        # equivalent, ops/bow.py + runtime/keyframe_db.py). A pre-trained
+        # vocabulary loads from cfg.vocab_path (the reference's ORBvoc.bin,
+        # src/System.cc:79); otherwise a small vocabulary is bootstrap-
+        # trained online from the first keyframes' descriptors.
+        self.vocab = None
+        self.kfdb = None
+        if cfg.use_bow and cfg.vocab_path:
+            from eao_slam_tpu.ops import bow
+            from eao_slam_tpu.runtime.keyframe_db import KeyFrameDatabase
+
+            self.vocab = bow.load_vocabulary(cfg.vocab_path)
+            self.kfdb = KeyFrameDatabase(self.vocab, cap.max_keyframes)
+
         # --- EAO object layer (lazy import keeps the core slice light)
         self.obj_table = None
         self.obj_updater = None
@@ -351,10 +365,19 @@ class MonoTracker:
         return T
 
     def _reloc_candidates(self, frame: Frame, k: int = 5):
-        """Candidate keyframes for relocalization: signature scoring against
-        all keyframes (DetectRelocalizationCandidates,
-        src/KeyFrameDatabase.cc:198), falling back to recency."""
+        """Candidate keyframes for relocalization
+        (DetectRelocalizationCandidates, src/KeyFrameDatabase.cc:198):
+        BoW database when a vocabulary exists, signature scoring otherwise,
+        falling back to recency."""
         slots = [s for s in self.kf_slots if self.kf_valid_host[s]]
+        if self.kfdb is not None and self.vocab is not None and slots:
+            from eao_slam_tpu.ops import bow
+
+            word, _ = bow.quantize(self.vocab, frame.desc)
+            q = np.asarray(bow.bow_vector(self.vocab, word, frame.valid))
+            cands = self.kfdb.detect_reloc_candidates(q, self.covis_matrix())
+            if cands:
+                return cands[:k]
         if self.loop_closer is None or not slots:
             return list(reversed(self.kf_slots[-k:]))
         from eao_slam_tpu.runtime.loop_closing import kf_signature
@@ -462,7 +485,58 @@ class MonoTracker:
         self.kf_valid_host[slot] = True
         self.kf_pt_host[slot] = np.asarray(cur_pt)
         self.kf_slots.append(slot)
+        self._bow_on_keyframe(slot)
         return slot
+
+    # ------------------------------------------------------------------
+    # BoW bookkeeping (Frame::ComputeBoW + KeyFrameDatabase::add)
+    # ------------------------------------------------------------------
+
+    def _bow_on_keyframe(self, slot: int) -> None:
+        cfg = self.cfg
+        if not cfg.use_bow:
+            return
+        from eao_slam_tpu.ops import bow
+        from eao_slam_tpu.runtime.keyframe_db import KeyFrameDatabase
+
+        if self.vocab is None:
+            # online bootstrap: train once enough keyframes exist, then
+            # backfill the database for all existing keyframes
+            if cfg.vocab_path is not None or len(self.kf_slots) < cfg.bow_bootstrap_kfs:
+                return
+            slots = [s for s in self.kf_slots if self.kf_valid_host[s]]
+            desc = np.asarray(self.map.kf_desc[jnp.asarray(slots)])
+            mask = np.asarray(self.map.kf_kp_valid[jnp.asarray(slots)])
+            train = desc[mask]
+            self.vocab = bow.build_vocabulary(train, k=10, depth=3,
+                                              seed=cfg.seed)
+            self.kfdb = KeyFrameDatabase(self.vocab, cfg.capacity.max_keyframes)
+            for s in slots:
+                self._bow_add(s)
+            return
+        self._bow_add(slot)
+
+    def _bow_add(self, slot: int) -> None:
+        from eao_slam_tpu.ops import bow
+
+        word, _node = bow.quantize(self.vocab, self.map.kf_desc[slot])
+        vec = bow.bow_vector(self.vocab, word, self.map.kf_kp_valid[slot])
+        self.kfdb.add(slot, np.asarray(vec))
+
+    def covis_matrix(self) -> np.ndarray:
+        """[K, K] covisibility weights from the host observation mirror
+        (KeyFrame::GetBestCovisibilityKeyFrames graph, batched)."""
+        K = self.cfg.capacity.max_keyframes
+        P = self.cfg.capacity.max_points
+        inc = np.zeros((K, P), np.float32)
+        for s in self.kf_slots:
+            if not self.kf_valid_host[s]:
+                continue
+            pts = self.kf_pt_host[s]
+            inc[s, pts[pts >= 0]] = 1.0
+        C = (inc @ inc.T).astype(np.int64)
+        np.fill_diagonal(C, 0)
+        return C
 
     def _covisible_neighbors(self, slot: int, k: int, min_weight: int = 10):
         """Top-k covisible keyframes by shared map points (host mirror of
@@ -579,6 +653,8 @@ class MonoTracker:
                     kf_pt_idx=self.map.kf_pt_idx.at[s].set(-1),
                 )
                 self.kf_slots.remove(s)
+                if self.kfdb is not None:
+                    self.kfdb.erase(s)
 
     def _triangulate_new_points(self, slot: int, nb: int):
         tri = triangulate_with_neighbor(
