@@ -124,6 +124,8 @@ class ObjectConfig:
     box_expand_px: float = 15.0           # AssociateObjAndLines (:2477)
     min_points_per_object: int = 5
     depth_subsample_limit: float = 3.0    # map-point subsampling band (src/Object.cc:752-810)
+    use_cubeslam: bool = False            # single-view cuboid proposals, disabled
+                                          # by default like bCubeslam (src/Tracking.cc:1211)
 
 
 @dataclasses.dataclass(frozen=True)

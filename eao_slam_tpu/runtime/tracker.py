@@ -132,6 +132,7 @@ class MonoTracker:
             )
             self.obj_updater = ObjectUpdater(cfg)
         self._appear_new_object = False
+        self.last_cuboids = None  # CubeSLAM proposals of the latest frame
 
     # ------------------------------------------------------------------
     # public API
@@ -343,6 +344,19 @@ class MonoTracker:
                 lines=(frame.lines, frame.line_valid),
             )
             self._appear_new_object = appear_new
+
+        # optional CubeSLAM single-view cuboid proposals (bCubeslam path,
+        # src/Tracking.cc:1211-1238 — draw/save only, off by default)
+        self.last_cuboids = None
+        if (cfg.objects.use_cubeslam and bool(jnp.any(frame.box_valid))
+                and frame.lines is not None):
+            from eao_slam_tpu.objects.cuboid_proposal import detect_cuboid
+
+            self.last_cuboids = detect_cuboid(
+                self.cam, jnp.asarray(T, jnp.float32),
+                frame.boxes, frame.box_valid,
+                frame.lines, frame.line_valid,
+            )
 
         if self._need_new_keyframe(frame, n2):
             cur_pt = np.asarray(r2.cur_pt)
