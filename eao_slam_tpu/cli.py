@@ -9,6 +9,8 @@ runs fully self-contained on the synthetic room scene (no dataset needed).
 
 Usage:
     python -m eao_slam_tpu.cli mono_tum <flag> <sequence_path> [out_dir]
+    python -m eao_slam_tpu.cli mono_kitti <flag> <sequence_path> [seq_num] [out_dir]
+    python -m eao_slam_tpu.cli mono_euroc <flag> <image_dir> [times_file|-] [out_dir]
     python -m eao_slam_tpu.cli demo [flag] [n_frames]
 """
 
@@ -46,6 +48,51 @@ def run_mono_tum(flag: str, seq: str, out_dir: str = ".") -> dict:
                 boxes = load_yolo_boxes(yolo_dir, float(ts), B)
             sysm.track_monocular(img, float(ts), boxes=boxes)
 
+    sysm.shutdown()
+    return _export(sysm, out_dir)
+
+
+def run_mono_kitti(flag: str, seq: str, sequence_num: int = 0,
+                   out_dir: str = ".") -> dict:
+    """mono_kitti parity driver (Examples/Monocular/mono_kitti.cc): grayscale
+    frames from <seq>/image_2/%06d.png paced by times.txt; exports the
+    KITTI-format CameraTrajectory.txt alongside the TUM exports."""
+    from eao_slam_tpu.config import kitti_config
+    from eao_slam_tpu.io.kitti import load_kitti_sequence
+    from eao_slam_tpu.io.native_loader import SequenceLoader
+    from eao_slam_tpu.io.trajectory import save_kitti
+
+    cfg = kitti_config(sequence_num, flag)
+    sysm = System(cfg)
+    lst = load_kitti_sequence(seq)
+    with SequenceLoader(seq, lst.filenames, lst.timestamps,
+                        cfg.camera.width, cfg.camera.height) as loader:
+        for i, ts, img in loader:
+            sysm.track_monocular(img, float(ts))
+    sysm.shutdown()
+    stats = _export(sysm, out_dir)
+    _, frame_T = sysm.tracker.frame_trajectory()
+    stats["kitti_rows"] = save_kitti(
+        os.path.join(out_dir, "CameraTrajectory.txt"), np.stack(frame_T)
+    ) if len(frame_T) else 0
+    return stats
+
+
+def run_mono_euroc(flag: str, image_dir: str, times_file: str | None = None,
+                   out_dir: str = ".") -> dict:
+    """mono_euroc parity driver (Examples/Monocular/mono_euroc.cc): frames
+    named by nanosecond stamps, EuRoC intrinsics with distortion."""
+    from eao_slam_tpu.config import euroc_config
+    from eao_slam_tpu.io.euroc import load_euroc_sequence
+    from eao_slam_tpu.io.native_loader import SequenceLoader
+
+    cfg = euroc_config(flag)
+    sysm = System(cfg)
+    lst = load_euroc_sequence(image_dir, times_file)
+    with SequenceLoader(image_dir, lst.filenames, lst.timestamps,
+                        cfg.camera.width, cfg.camera.height) as loader:
+        for i, ts, img in loader:
+            sysm.track_monocular(img, float(ts))
     sysm.shutdown()
     return _export(sysm, out_dir)
 
@@ -130,6 +177,16 @@ def main(argv=None):
         flag, seq = argv[1], argv[2]
         out = argv[3] if len(argv) > 3 else "."
         stats = run_mono_tum(flag, seq, out)
+    elif cmd == "mono_kitti":
+        flag, seq = argv[1], argv[2]
+        num = int(argv[3]) if len(argv) > 3 else 0
+        out = argv[4] if len(argv) > 4 else "."
+        stats = run_mono_kitti(flag, seq, num, out)
+    elif cmd == "mono_euroc":
+        flag, image_dir = argv[1], argv[2]
+        times = argv[3] if len(argv) > 3 and argv[3] != "-" else None
+        out = argv[4] if len(argv) > 4 else "."
+        stats = run_mono_euroc(flag, image_dir, times, out)
     elif cmd == "demo":
         flag = argv[1] if len(argv) > 1 else "EAO"
         n = int(argv[2]) if len(argv) > 2 else 60

@@ -204,3 +204,25 @@ def tum3_config(flag: DemoFlag | str = DemoFlag.NONE, **kw) -> SystemConfig:
     if isinstance(flag, str):
         flag = DemoFlag(flag)
     return SystemConfig(camera=TUM3, flag=flag, **kw)
+
+
+def kitti_config(sequence: int | str = 0, flag: DemoFlag | str = DemoFlag.NONE,
+                 **kw) -> SystemConfig:
+    """KITTI odometry preset (Examples/Monocular/KITTI*.yaml — 2000 ORB
+    features like the reference's KITTI configs)."""
+    from eao_slam_tpu.io.kitti import kitti_camera
+
+    if isinstance(flag, str):
+        flag = DemoFlag(flag)
+    kw.setdefault("orb", OrbConfig(n_features=2000))
+    return SystemConfig(camera=kitti_camera(sequence), flag=flag, **kw)
+
+
+def euroc_config(flag: DemoFlag | str = DemoFlag.NONE, **kw) -> SystemConfig:
+    """EuRoC MAV preset (Examples/Monocular/EuRoC.yaml — 1000 features,
+    radial-tangential distortion handled by the undistortion path)."""
+    from eao_slam_tpu.geometry.camera import EUROC
+
+    if isinstance(flag, str):
+        flag = DemoFlag(flag)
+    return SystemConfig(camera=EUROC, flag=flag, **kw)

@@ -49,6 +49,18 @@ TUM1 = Camera(517.306408, 516.469215, 318.643040, 255.313989,
               0.262383, -0.953104, -0.005358, 0.002628, 1.163314, 640, 480, 30.0)
 TUM2 = Camera(520.908620, 521.007327, 325.141442, 249.701764,
               0.231222, -0.784899, -0.003257, -0.000105, 0.917205, 640, 480, 30.0)
+# KITTI odometry grayscale/color rectified intrinsics
+# (Examples/Monocular/KITTI00-02.yaml, KITTI03.yaml, KITTI04-12.yaml).
+KITTI00_02 = Camera(718.856, 718.856, 607.1928, 185.2157,
+                    width=1241, height=376, fps=10.0)
+KITTI03 = Camera(721.5377, 721.5377, 609.5593, 172.854,
+                 width=1242, height=375, fps=10.0)
+KITTI04_12 = Camera(707.0912, 707.0912, 601.8873, 183.1104,
+                    width=1226, height=370, fps=10.0)
+# EuRoC MAV cam0 (Examples/Monocular/EuRoC.yaml).
+EUROC = Camera(458.654, 457.296, 367.215, 248.375,
+               -0.28340811, 0.07395907, 0.00019359, 1.76187114e-05, 0.0,
+               752, 480, 20.0)
 
 
 def project(cam: Camera, xc: jnp.ndarray) -> jnp.ndarray:

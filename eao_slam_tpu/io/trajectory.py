@@ -37,6 +37,43 @@ def save_tum(path: str, timestamps, T_cw, valid=None) -> int:
     return n
 
 
+def save_kitti(path: str, T_cw, valid=None) -> int:
+    """Write a trajectory in KITTI odometry format
+    (System::SaveTrajectoryKITTI, src/System.cc:423-471): one row of the
+    12 values of the 3x4 camera-in-world matrix per frame, all poses
+    rebased so the first exported pose is the identity (the reference
+    transforms by the first keyframe's inverse pose)."""
+    T_cw = np.asarray(T_cw, np.float64)
+    rows = []
+    T0wc = None
+    for i in range(len(T_cw)):
+        if valid is not None and not valid[i]:
+            continue
+        R = T_cw[i, :3, :3]
+        t = T_cw[i, :3, 3]
+        Twc = np.eye(4)
+        Twc[:3, :3] = R.T
+        Twc[:3, 3] = -R.T @ t
+        if T0wc is None:
+            T0wc = np.linalg.inv(Twc)
+        Twc = T0wc @ Twc
+        rows.append(" ".join(f"{v:.9e}" for v in Twc[:3].reshape(-1)))
+    with open(path, "w") as f:
+        f.write("\n".join(rows) + ("\n" if rows else ""))
+    return len(rows)
+
+
+def load_kitti_poses(path: str) -> np.ndarray:
+    """Read a KITTI-format trajectory back as [N, 3, 4] camera-in-world."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            vals = [float(v) for v in line.split()]
+            if len(vals) == 12:
+                rows.append(np.asarray(vals).reshape(3, 4))
+    return np.stack(rows) if rows else np.zeros((0, 3, 4))
+
+
 def umeyama_alignment(x: np.ndarray, y: np.ndarray, with_scale: bool = True):
     """Least-squares similarity aligning x -> y. x, y: [N, 3].
     Returns (s, R, t) with y ≈ s * R @ x + t."""
