@@ -11,6 +11,7 @@ Usage:
     python -m eao_slam_tpu.cli mono_tum <flag> <sequence_path> [out_dir]
     python -m eao_slam_tpu.cli mono_kitti <flag> <sequence_path> [seq_num] [out_dir]
     python -m eao_slam_tpu.cli mono_euroc <flag> <image_dir> [times_file|-] [out_dir]
+    python -m eao_slam_tpu.cli eval_cloud <est.obj/ply> <gt.obj/ply>
     python -m eao_slam_tpu.cli demo [flag] [n_frames]
 """
 
@@ -187,6 +188,10 @@ def main(argv=None):
         times = argv[3] if len(argv) > 3 and argv[3] != "-" else None
         out = argv[4] if len(argv) > 4 else "."
         stats = run_mono_euroc(flag, image_dir, times, out)
+    elif cmd == "eval_cloud":
+        from eao_slam_tpu.evaluation import evaluate_reconstruction
+
+        stats = evaluate_reconstruction(argv[1], argv[2])
     elif cmd == "demo":
         flag = argv[1] if len(argv) > 1 else "EAO"
         n = int(argv[2]) if len(argv) > 2 else 60
