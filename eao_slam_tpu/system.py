@@ -31,6 +31,10 @@ class System:
         self.cfg = config if config is not None else tum3_config(flag)
         self.tracker = MonoTracker(self.cfg)
         self.timings: list = []
+        # structured stage timing (SURVEY.md §5 observability equivalent)
+        from eao_slam_tpu.utils.profiling import StageProfiler
+
+        self.profiler = StageProfiler()
         # retained keyframe images for the offline semi-dense pass
         self._kf_images: dict = {}
         self._last_img: Optional[np.ndarray] = None
