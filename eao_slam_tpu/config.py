@@ -137,8 +137,9 @@ class MappingConfig:
     local_ba_iters_second: int = 10
     triangulation_neighbors: int = 3  # ref uses 20 covisible KFs for mono (src/LocalMapping.cc:218)
     min_covis_weight: int = 10
-    pose_lm_rounds: int = 4
-    pose_lm_iters: int = 10
+    # per-round inner-iteration counts of the motion-only pose LM; one
+    # chi2-5.991 re-classification between rounds (solvers/pose_lm.py)
+    pose_lm_schedule: tuple = (4, 3, 2, 1)
     chi2_mono: float = 5.991
     huber_delta: float = 2.4477       # sqrt(5.991)
     kf_cull_redundancy: float = 0.9   # 90% rule (src/LocalMapping.cc:637-707)

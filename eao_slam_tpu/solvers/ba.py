@@ -92,25 +92,100 @@ def _cost_only(cam, prob, poses, points):
     return cost
 
 
-def _lm_system(cam: Camera, prob: BAProblem, poses, points):
-    """Assemble the blocks of the normal equations."""
+def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate) batched 3x3 inverse.
+
+    jnp.linalg.inv on [P, 3, 3] lowers to an LU custom call that profiled
+    at ~11 ms PER LM ITERATION inside the windowed-BA loop on v5e; the
+    adjugate is ~40 fused elementwise ops.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    rows = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], -1),
+            jnp.stack([A21, A22, A23], -1),
+            jnp.stack([A31, A32, A33], -1),
+        ],
+        -2,
+    )
+    return rows * inv_det[..., None, None]
+
+
+class _Gather(NamedTuple):
+    """Iteration-invariant one-hot scatter matrices for system assembly.
+
+    XLA scatter-add on TPU serializes (profiled ~60 ms per LM iteration
+    for the [K, P, 6, 3] Wcp scatter at W=16, Pl=2048); these turn every
+    assembly into an MXU matmul. Built ONCE per solve — pt_idx/kf_idx
+    never change across LM iterations. Layout-agnostic: any observation
+    order works.
+    """
+
+    Mk: jnp.ndarray   # [K, O] bf16 one-hot of kf_idx
+    Mp: jnp.ndarray   # [P, O] bf16 one-hot of pt_idx
+
+
+def _build_gather(prob: BAProblem) -> _Gather:
+    K = prob.poses.shape[0]
+    P = prob.points.shape[0]
+    Mk = (
+        jnp.arange(K, dtype=jnp.int32)[:, None] == prob.kf_idx[None, :]
+    ).astype(jnp.bfloat16)
+    Mp = (
+        jnp.arange(P, dtype=jnp.int32)[:, None] == prob.pt_idx[None, :]
+    ).astype(jnp.bfloat16)
+    return _Gather(Mk=Mk, Mp=Mp)
+
+
+def _mm(M: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """bf16-one-hot @ f32 tail matmul with exact selection (hi/lo split)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    return (
+        jax.lax.dot_general(M, hi, dims, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(M, lo, dims, preferred_element_type=jnp.float32)
+    )
+
+
+def _lm_system(cam: Camera, prob: BAProblem, poses, points, G: _Gather):
+    """Assemble the blocks of the normal equations (matmul scatter)."""
     r, Jc, Jp, depth_ok = _residuals(cam, prob, poses, points)
     w, cost, chi2, m = _weights(prob, r, depth_ok)
     K = prob.poses.shape[0]
     P = prob.points.shape[0]
+    O = r.shape[0]
 
     wJc = Jc * w[:, None, None]
-    Hcc = jnp.zeros((K, 6, 6)).at[prob.kf_idx].add(jnp.einsum("oki,okj->oij", wJc, Jc))
-    Hpp = jnp.zeros((P, 3, 3)).at[prob.pt_idx].add(
-        jnp.einsum("oki,okj->oij", Jp * w[:, None, None], Jp)
-    )
-    Wcp = jnp.zeros((K, P, 6, 3)).at[prob.kf_idx, prob.pt_idx].add(
-        jnp.einsum("oki,okj->oij", wJc, Jp)
-    )
-    bc = jnp.zeros((K, 6)).at[prob.kf_idx].add(jnp.einsum("oki,ok->oi", wJc, r))
-    bp = jnp.zeros((P, 3)).at[prob.pt_idx].add(
-        jnp.einsum("oki,ok->oi", Jp * w[:, None, None], r)
-    )
+    wJp = Jp * w[:, None, None]
+    occ = jnp.einsum("oki,okj->oij", wJc, Jc).reshape(O, 36)
+    opp = jnp.einsum("oki,okj->oij", wJp, Jp).reshape(O, 9)
+    ocp = jnp.einsum("oki,okj->oij", wJc, Jp).reshape(O, 18)
+    obc = jnp.einsum("oki,ok->oi", wJc, r)
+    obp = jnp.einsum("oki,ok->oi", wJp, r)
+
+    Hcc = _mm(G.Mk, occ).reshape(K, 6, 6)
+    bc = _mm(G.Mk, obc)
+    Hpp = _mm(G.Mp, opp).reshape(P, 3, 3)
+    bp = _mm(G.Mp, obp)
+    # Wcp[k, p] = sum over obs of kf k on point p: mask ocp by each kf's
+    # one-hot row, then one [P, O] @ [O, K*18] matmul
+    masked = ocp[:, None, :] * G.Mk.T[:, :, None].astype(ocp.dtype)  # [O, K, 18]
+    Wcp = _mm(G.Mp, masked.reshape(O, K * 18)).reshape(P, K, 6, 3)
+    Wcp = Wcp.transpose(1, 0, 2, 3)                                  # [K, P, 6, 3]
     return Hcc, Hpp, Wcp, bc, bp, cost
 
 
@@ -127,7 +202,7 @@ def _solve_lm_step(prob: BAProblem, Hcc, Hpp, Wcp, bc, bp, lam):
     # exploding the Schur cancellation in float32
     floor_p = 1e-5 * jnp.max(diag_p, axis=1, keepdims=True) + 1e-8
     Hpp_d = Hpp + (lam * diag_p + floor_p)[:, :, None] * eye3[None]
-    Binv = jnp.linalg.inv(Hpp_d)  # [P, 3, 3]
+    Binv = inv3x3(Hpp_d)  # [P, 3, 3] (closed form; LU custom call is ~100x slower)
 
     diag_c = jnp.maximum(jnp.diagonal(Hcc, axis1=1, axis2=2), 1e-8)  # [K, 6]
     Hcc_d = Hcc + lam * diag_c[:, :, None] * eye6[None]
@@ -166,9 +241,11 @@ def bundle_adjust(cam: Camera, prob: BAProblem, iters: int = 10, lam0: float = 1
     outlier re-classification in between (drive that from the caller by
     invoking twice and masking obs_valid)."""
 
+    G = _build_gather(prob)
+
     def step(_, carry):
         poses, points, lam = carry
-        Hcc, Hpp, Wcp, bc, bp, cost = _lm_system(cam, prob, poses, points)
+        Hcc, Hpp, Wcp, bc, bp, cost = _lm_system(cam, prob, poses, points, G)
         dc, dp = _solve_lm_step(prob, Hcc, Hpp, Wcp, bc, bp, lam)
         # trust region on the twist: a huge step would push se3.exp outside
         # its float32-accurate range and R off SO(3)

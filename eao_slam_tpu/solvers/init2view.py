@@ -324,19 +324,25 @@ def initialize_two_view(
     RH = SH / jnp.maximum(SH + SF, 1e-9)
     use_h = RH > 0.40  # src/Initializer.cc:115
 
-    # --- candidate poses from both decompositions, padded to 8 each
+    # --- candidate poses: JOINT election over both decompositions.
+    #
+    # Documented divergence from the reference (src/Initializer.cc:104-118,
+    # which decomposes only the RH-selected model): on plane-dominated
+    # scenes the homography wins RH, and the classic two-fold (R, t, n)
+    # ambiguity of the H decomposition can be decided by cheirality NOISE
+    # alone, silently accepting a pose with tens of degrees of translation
+    # error. Electing over the union of all 8 H-candidates and 4
+    # E-candidates with the UNION inlier set fixes this: the true pose
+    # also reconstructs the off-plane inliers that only F explains, while
+    # the wrong H branch only ever explains the plane. Pure-plane scenes
+    # degrade gracefully (E candidates score low, H election unchanged).
     K = cam.K
     E = K.T @ F_best @ K
     Rs_e, ts_e = _decompose_e(E)  # [4]
-    # pad to 8 with degenerate (I, 0) candidates that score ~0 good points
-    # (duplicating real candidates would break the uniqueness gate below)
-    Rs_e = jnp.concatenate([Rs_e, jnp.broadcast_to(jnp.eye(3), (4, 3, 3))], 0)
-    ts_e = jnp.concatenate([ts_e, jnp.zeros((4, 3))], 0)
     Rs_h, ts_h = _decompose_h(H_best, K)  # [8]
-
-    Rs = jnp.where(use_h, Rs_h, Rs_e)
-    ts = jnp.where(use_h, ts_h, ts_e)
-    inliers = jnp.where(use_h, h_inliers, f_inliers)
+    Rs = jnp.concatenate([Rs_h, Rs_e], 0)  # [12]
+    ts = jnp.concatenate([ts_h, ts_e], 0)
+    inliers = h_inliers | f_inliers
 
     n_good, par, Xw, good = jax.vmap(
         lambda R, t: _check_rt(cam, R, t, uv1, uv2, inliers)
@@ -344,14 +350,26 @@ def initialize_two_view(
 
     best = jnp.argmax(n_good)
     n_best = n_good[best]
-    # uniqueness: no second candidate close to best (ReconstructF demands
-    # nsimilar <= 1 at 0.7*max; H path picks best over 0.75*second)
-    n_similar = jnp.sum(n_good > 0.7 * n_best)
+    # uniqueness: no POSE-DISTINCT candidate close to best (ReconstructF
+    # demands nsimilar <= 1 at 0.7*max). Joint H+E election means the true
+    # motion usually appears TWICE (once per decomposition), so candidates
+    # within ~15 degrees of the winner in both rotation and translation
+    # direction are the same solution, not ambiguity.
+    R_b = Rs[best]
+    t_b = ts[best] / jnp.maximum(jnp.linalg.norm(ts[best]), 1e-9)
+    tr = jnp.einsum("ij,nij->n", R_b, Rs)          # trace(R_b^T R_n)
+    t_n = ts / jnp.maximum(
+        jnp.linalg.norm(ts, axis=-1, keepdims=True), 1e-9
+    )
+    same_pose = (tr > 1.0 + 2.0 * jnp.cos(jnp.deg2rad(15.0))) & (
+        jnp.einsum("j,nj->n", t_b, t_n) > jnp.cos(jnp.deg2rad(15.0))
+    )
+    n_similar = jnp.sum((n_good > 0.7 * n_best) & ~same_pose)
     min_good = jnp.maximum(
         jnp.asarray(min_triangulated, jnp.int32),
         (0.9 * jnp.sum(inliers)).astype(jnp.int32),
     )
-    ok = (n_best >= min_good) & (n_similar <= 1) & (par[best] > 1.0)
+    ok = (n_best >= min_good) & (n_similar == 0) & (par[best] > 1.0)
 
     return InitResult(
         success=ok,
