@@ -37,6 +37,9 @@ def run_mono_tum(flag: str, seq: str, out_dir: str = ".") -> dict:
     lst = load_image_list(os.path.join(seq, "rgb.txt"))
     B = cfg.capacity.max_boxes
     yolo_dir = os.path.join(seq, "yolo_txts")
+    gt_path = os.path.join(seq, "groundtruth.txt")
+    if os.path.exists(gt_path):  # ground alignment (src/Tracking.cc:197-241)
+        sysm.set_groundtruth(gt_path)
 
     # threaded native decode + prefetch (native/eao_loader.cpp); decoding
     # overlaps tracking instead of stalling it like the reference's

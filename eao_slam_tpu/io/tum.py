@@ -69,6 +69,30 @@ def lookup_pose(gt: GroundTruth, timestamp: float, tol: float = 0.05):
     return gt.t_wc[i], gt.q_wc[i]
 
 
+def pose_from_tq(t, q_wxyz) -> np.ndarray:
+    """(t, q wxyz) -> [3, 4] camera-in-world (T_wc) matrix — the reference's
+    mGroundtruthPose_mat / InitToGround (src/Tracking.cc:534-544): the GT
+    file stores the camera pose in the gravity-aligned ground frame."""
+    w, x, y, z = (float(v) for v in q_wxyz)
+    n = (w * w + x * x + y * y + z * z) ** 0.5
+    w, x, y, z = w / n, x / n, y / n, z / n
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float64)
+    return np.concatenate([R, np.asarray(t, np.float64)[:, None]], axis=1)
+
+
+def lookup_pose_matrix(gt: GroundTruth, timestamp: float,
+                       tol: float = 0.05) -> Optional[np.ndarray]:
+    """Nearest-timestamp GT pose as a [3, 4] T_wc matrix, or None."""
+    hit = lookup_pose(gt, timestamp, tol)
+    if hit is None:
+        return None
+    return pose_from_tq(hit[0], hit[1])
+
+
 def load_yolo_boxes(
     yolo_dir: str,
     timestamp: float,

@@ -456,10 +456,10 @@ class ChunkedTracker:
 
     # -- bootstrap ------------------------------------------------------
 
-    def bootstrap(self, frame: Frame, timestamp: float) -> bool:
+    def bootstrap(self, frame: Frame, timestamp: float, gt_pose=None) -> bool:
         """Feed frames one at a time until two-view init succeeds.
         Returns True once the map exists and chunked mode is armed."""
-        T = self.inner.track(frame, timestamp)
+        T = self.inner.track(frame, timestamp, gt_pose=gt_pose)
         self.records.append((timestamp, None if T is None else np.asarray(T),
                              self.inner.state))
         if self.inner.state == OK:

@@ -98,6 +98,7 @@ class MonoTracker:
 
         self.init_ref: Optional[Frame] = None
         self.init_ref_t: float = 0.0
+        self.init_gt: Optional[np.ndarray] = None  # [3,4] T_wc of init frame
         self.records: List[FrameRecord] = []
 
         # --- loop closing (LoopClosing thread equivalent)
@@ -138,12 +139,19 @@ class MonoTracker:
     # public API
     # ------------------------------------------------------------------
 
-    def track(self, frame: Frame, timestamp: float) -> Optional[np.ndarray]:
+    def track(self, frame: Frame, timestamp: float,
+              gt_pose: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
         """Process one frame; returns the camera-from-world pose [3, 4] or
-        None if tracking failed (System::TrackMonocular contract)."""
+        None if tracking failed (System::TrackMonocular contract).
+
+        gt_pose: optional [3, 4] camera-in-world GT pose of THIS frame
+        (mGroundtruthPose_mat protocol, src/Tracking.cc:506-555). Only the
+        initializer reference frame's pose is consumed — it rotates the
+        world frame onto the gravity-aligned ground at map creation
+        (src/Tracking.cc:1018-1045), which the cuboid/yaw layer requires."""
         self.frame_id += 1
         if self.state in (NO_IMAGES, NOT_INITIALIZED):
-            T = self._initialize(frame, timestamp)
+            T = self._initialize(frame, timestamp, gt_pose)
         elif self.state == OK:
             T = self._track_frame(frame, timestamp)
         else:  # LOST
@@ -172,11 +180,13 @@ class MonoTracker:
     # initialization (MonocularInitialization, src/Tracking.cc:806-939)
     # ------------------------------------------------------------------
 
-    def _initialize(self, frame: Frame, timestamp: float) -> Optional[np.ndarray]:
+    def _initialize(self, frame: Frame, timestamp: float,
+                    gt_pose: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
         n_feats = int(jnp.sum(frame.valid))
         if self.init_ref is None or n_feats < self.cfg.tracking.min_init_matches:
             if n_feats >= self.cfg.tracking.min_init_matches:
                 self.init_ref, self.init_ref_t = frame, timestamp
+                self.init_gt = gt_pose
                 self.state = NOT_INITIALIZED
             return None
 
@@ -188,6 +198,7 @@ class MonoTracker:
         n_matches = int(jnp.sum(ok))
         if n_matches < self.cfg.tracking.min_init_matches:
             self.init_ref, self.init_ref_t = frame, timestamp
+            self.init_gt = gt_pose
             return None
 
         self.rng_key, sub = jax.random.split(self.rng_key)
@@ -263,6 +274,9 @@ class MonoTracker:
         )
         self._apply_ba(ba)
 
+        if self.init_gt is not None:
+            self._align_world_to_ground(np.asarray(self.init_gt, np.float64))
+
         T_final = np.asarray(self.map.kf_pose)[self.kf_slots[-1]]
         self.state = OK
         self.last_frame = frame
@@ -275,6 +289,31 @@ class MonoTracker:
         self.frames_since_kf = 0
         self.ref_kf_tracked = int((pt2 >= 0).sum())
         return T_final
+
+    def _align_world_to_ground(self, init_to_ground: np.ndarray) -> None:
+        """[EAO] Rotate the world frame onto the ground using the initial
+        frame's GT pose (src/Tracking.cc:1018-1045): with G = T_wc(init)
+        ("InitToGround"), keyframe poses become T_c<-ground = T_c<-init *
+        G^-1 and points X_ground = R_G X + t_G. The gravity direction is
+        then the world -y axis, which the cuboid yaw/ground-lift layer
+        assumes (objects/state.py:yaw_rotation)."""
+        G = init_to_ground.astype(np.float32)           # [3, 4] T_wc
+        G_inv = np_inverse(G)                           # [3, 4] T_cw
+        R_G = jnp.asarray(G[:3, :3])
+        t_G = jnp.asarray(G[:3, 3])
+        m = self.map
+        kf_R = m.kf_pose[..., :3]
+        kf_t = m.kf_pose[..., 3]
+        Ginv_R = jnp.asarray(G_inv[:3, :3])
+        Ginv_t = jnp.asarray(G_inv[:3, 3])
+        new_R = jnp.einsum("kab,bc->kac", kf_R, Ginv_R)
+        new_t = jnp.einsum("kab,b->ka", kf_R, Ginv_t) + kf_t
+        m = m._replace(
+            kf_pose=jnp.concatenate([new_R, new_t[..., None]], axis=-1),
+            pt_pos=m.pt_pos @ R_G.T + t_G[None, :],
+            pt_normal=m.pt_normal @ R_G.T,
+        )
+        self.map = m
 
     # ------------------------------------------------------------------
     # per-frame tracking (Tracking::Track, src/Tracking.cc:562-804)

@@ -37,6 +37,7 @@ class System:
         self.profiler = StageProfiler()
         # retained keyframe images for the offline semi-dense pass
         self._kf_images: dict = {}
+        self._groundtruth = None  # io.tum.GroundTruth for ground alignment
         self._last_img: Optional[np.ndarray] = None
         self._semidense_result = None
         self._semidense_slots: list = []
@@ -62,11 +63,27 @@ class System:
         self.timings.append(time.perf_counter() - t0)
         return T
 
+    def set_groundtruth(self, gt_or_path) -> None:
+        """Arm the GT-pose protocol (src/Tracking.cc:197-241): per-frame GT
+        lookup by timestamp; only the initializer frame's pose is consumed,
+        to rotate the world onto the ground (src/Tracking.cc:1018-1045)."""
+        from eao_slam_tpu.io.tum import GroundTruth, load_groundtruth
+
+        if isinstance(gt_or_path, str):
+            gt_or_path = load_groundtruth(gt_or_path)
+        assert isinstance(gt_or_path, GroundTruth)
+        self._groundtruth = gt_or_path
+
     def track_frame(self, frame: Frame, timestamp: float,
                     img: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
         """Feed a pre-extracted Frame (the feature-level injection seam)."""
         n_kf_before = len(self.tracker.kf_slots)
-        T = self.tracker.track(frame, timestamp)
+        gt_pose = None
+        if self._groundtruth is not None:
+            from eao_slam_tpu.io.tum import lookup_pose_matrix
+
+            gt_pose = lookup_pose_matrix(self._groundtruth, timestamp)
+        T = self.tracker.track(frame, timestamp, gt_pose=gt_pose)
         if (
             img is not None
             and self.cfg.flag.semidense_enabled
