@@ -80,8 +80,13 @@ def build_pyramid(img: jnp.ndarray, n_levels: int = 8, scale_factor: float = 1.2
     sizes = level_sizes(h, w, n_levels, scale_factor)
     levels = [img]
     for l in range(1, n_levels):
-        # resize from the previous level (like cv::resize chain in the ref)
-        levels.append(resize_bilinear(levels[-1], sizes[l]))
+        # resize from the previous level (like cv::resize chain in the ref),
+        # rounded to integer grey levels — the reference pyramid is uint8
+        # (src/ORBextractor.cc:1107 ComputePyramid on CV_8U). Integer levels
+        # also make every value exactly representable in bfloat16 (<= 255
+        # needs 8 mantissa bits), so downstream one-hot-matmul patch gathers
+        # select pixels EXACTLY with single bf16 matmuls (no hi/lo split).
+        levels.append(jnp.round(resize_bilinear(levels[-1], sizes[l])))
     return tuple(levels)
 
 

@@ -293,7 +293,39 @@ def _brief_onehot():
 _BRIEF_OH = jnp.asarray(_brief_onehot(), jnp.bfloat16)
 
 
-def _gather_patches(img: jnp.ndarray, yx: jnp.ndarray, r: int = PATCH_R) -> jnp.ndarray:
+def _brief_onehot_blurfolded() -> np.ndarray:
+    """Blur-folded BRIEF sampling matrix over the RAW 37x37 patch.
+
+    The 7x7 sigma-2 pre-descriptor blur is linear, so instead of blurring
+    each gathered patch (_blur_patches: ~12 ms per 32-frame chunk of sliced
+    multiply-adds) it is folded into the sampling matrix once at build time:
+
+        diff = W31 @ blur(raw)  ==  (blur^T @ W31) @ raw
+
+    Every 31x31 bilinear sampling weight is replaced by its 7x7-blur stamp in
+    37x37 raw-patch coordinates (offset +_BLUR_R). Sampling positions stay
+    within radius 13+1 of the center, so the stamped support (±3 more) never
+    leaves the 37x37 patch — zero padding is exact, not an approximation.
+    """
+    from eao_slam_tpu.ops.image import gaussian_kernel1d
+
+    mat31 = _brief_onehot()                       # [31*31, 2*Q*256]
+    C = mat31.shape[1]
+    k = gaussian_kernel1d(2.0, _BLUR_R).astype(np.float64)
+    src = mat31.reshape(PATCH, PATCH, C).astype(np.float64)
+    out = np.zeros((GPATCH, GPATCH, C), np.float64)
+    for dy in range(2 * _BLUR_R + 1):
+        for dx in range(2 * _BLUR_R + 1):
+            out[dy : dy + PATCH, dx : dx + PATCH, :] += k[dy] * k[dx] * src
+    return out.reshape(GPATCH * GPATCH, C).astype(np.float32)
+
+
+_BRIEF_OH_RAW = jnp.asarray(_brief_onehot_blurfolded(), jnp.bfloat16)
+
+
+def _gather_patches(
+    img: jnp.ndarray, yx: jnp.ndarray, r: int = PATCH_R, assume_int: bool = False
+) -> jnp.ndarray:
     """Extract [N, 2r+1, 2r+1] patches centered at integer keypoints
     (selection guarantees keypoints >= border=19 >= r from the image edge).
 
@@ -304,6 +336,11 @@ def _gather_patches(img: jnp.ndarray, yx: jnp.ndarray, r: int = PATCH_R) -> jnp.
     118 ms extraction chunk), jnp.take of rows lowers to the same, and
     take_along_axis on the minor axis is worse. One-hot selection costs
     ~2.5 G bf16 MACs per VGA frame — noise for the MXU — and fuses cleanly.
+
+    assume_int=True: the image holds integer grey levels <= 255 (the rounded
+    pyramid, matching the reference's uint8 levels) — every value is exact in
+    bfloat16, so one bf16 matmul per stage selects pixels EXACTLY and the
+    hi/lo split (2x matmuls) is skipped.
     """
     d = 2 * r + 1
     N = yx.shape[0]
@@ -314,26 +351,30 @@ def _gather_patches(img: jnp.ndarray, yx: jnp.ndarray, r: int = PATCH_R) -> jnp.
     oh_rows = (
         rows.reshape(-1)[:, None] == jnp.arange(H, dtype=jnp.int32)[None, :]
     ).astype(jnp.bfloat16)                                   # [N*d, H]
-    # hi/lo split keeps the selected pixels exact (bf16 would round them)
-    hi = img.astype(jnp.bfloat16)
-    lo = (img - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     dims = (((1,), (0,)), ((), ()))
-    band = (
-        jax.lax.dot_general(oh_rows, hi, dims, preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(oh_rows, lo, dims, preferred_element_type=jnp.float32)
-    ).reshape(N, d, W)                                       # [N, d, W]
+    hi = img.astype(jnp.bfloat16)
+    band = jax.lax.dot_general(oh_rows, hi, dims, preferred_element_type=jnp.float32)
+    if not assume_int:
+        # hi/lo split keeps the selected pixels exact (bf16 would round them)
+        lo = (img - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        band = band + jax.lax.dot_general(
+            oh_rows, lo, dims, preferred_element_type=jnp.float32
+        )
+    band = band.reshape(N, d, W)                             # [N, d, W]
 
     cols = yx[:, 1:2] + offs[None, :]                        # [N, d]
     oh_cols = (
         jnp.arange(W, dtype=jnp.int32)[None, :, None] == cols[:, None, :]
     ).astype(jnp.bfloat16)                                   # [N, W, d]
-    bhi = band.astype(jnp.bfloat16)
-    blo = (band - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
     bdims = (((2,), (1,)), ((0,), (0,)))
-    return (
-        jax.lax.dot_general(bhi, oh_cols, bdims, preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(blo, oh_cols, bdims, preferred_element_type=jnp.float32)
-    )                                                        # [N, d, d]
+    bhi = band.astype(jnp.bfloat16)
+    out = jax.lax.dot_general(bhi, oh_cols, bdims, preferred_element_type=jnp.float32)
+    if not assume_int:
+        blo = (band - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = out + jax.lax.dot_general(
+            blo, oh_cols, bdims, preferred_element_type=jnp.float32
+        )
+    return out                                               # [N, d, d]
 
 
 def _blur_patches(patches: jnp.ndarray) -> jnp.ndarray:
@@ -384,16 +425,26 @@ def _angles_and_descriptors(img: jnp.ndarray, yx: jnp.ndarray):
     split: IC_Angle on the raw level image, BRIEF on the 7x7/sigma-2 blurred
     one (src/ORBextractor.cc:1040-1100), with the steering angle quantized
     to N_ROT_BINS (the original ORB paper's 12-degree lookup construction —
-    matching is internal-only, so only self-consistency matters)."""
-    raw = _gather_patches(img, yx, r=PATCH_R + _BLUR_R)   # [N, 37, 37]
+    matching is internal-only, so only self-consistency matters).
+
+    Perf structure: pyramid levels are integer-valued (build_pyramid rounds,
+    like the reference's uint8 levels), so the patch gather runs exact
+    single-bf16 matmuls (assume_int), and the blur is pre-folded into the
+    sampling matrix (_BRIEF_OH_RAW) — the whole descriptor path is the
+    gather + one [N, 1369] @ [1369, 2*Q*256] matmul."""
+    raw = _gather_patches(img, yx, r=PATCH_R + _BLUR_R, assume_int=True)
     N = raw.shape[0]
     center = raw[:, _BLUR_R : _BLUR_R + PATCH, _BLUR_R : _BLUR_R + PATCH]
     m10 = jnp.sum(center * _IC_WX, axis=(1, 2))
     m01 = jnp.sum(center * _IC_WY, axis=(1, 2))
     angles = fast_atan2(m01, m10)
 
-    blurred = _blur_patches(raw).reshape(N, -1)           # [N, 961]
-    diffs_all = _brief_diffs(blurred)                     # [N, 2*Q*256]
+    # raw patches are exact integers <= 255: one bf16 matmul, no hi/lo split
+    dims = (((1,), (0,)), ((), ()))
+    diffs_all = jax.lax.dot_general(
+        raw.reshape(N, -1).astype(jnp.bfloat16), _BRIEF_OH_RAW, dims,
+        preferred_element_type=jnp.float32,
+    )                                                     # [N, 2*Q*256]
     return angles, _steered_pack(diffs_all, angles)
 
 

@@ -119,14 +119,23 @@ def shard_problem(prob: BAProblem, n_shards: int, k_pad: int) -> tuple:
             out[s, : counts[s]] = x[pos[s] : pos[s + 1]]
         return out
 
+    # observations of invalid cameras must not contribute to any block or
+    # to the accept/reject cost — fold cam_valid into obs_valid here so the
+    # device side matches the single-chip _weights mask (solvers/ba.py:83)
+    obs_ok = np.asarray(prob.obs_valid) & np.asarray(prob.cam_valid)[
+        np.clip(np.asarray(prob.kf_idx), 0, K - 1)
+    ]
     sh = ShardedBA(
         points=jnp.asarray(pts.reshape(n_shards, Pl, 3)),
         pt_valid=jnp.asarray(ptv.reshape(n_shards, Pl)),
         kf_idx=jnp.asarray(blocked(np.asarray(prob.kf_idx))),
-        pt_local=jnp.asarray(blocked(pt_idx % Pl)),
+        # pad fill Pl-1 (not 0): the per-shard pt_local vector must stay
+        # nondecreasing INCLUDING padding, because the segment sums run with
+        # indices_are_sorted=True — padded w is 0 so the sums are unchanged
+        pt_local=jnp.asarray(blocked(pt_idx % Pl, fill=Pl - 1)),
         uv=jnp.asarray(blocked(np.asarray(prob.uv))),
         inv_sigma2=jnp.asarray(blocked(np.asarray(prob.inv_sigma2))),
-        obs_valid=jnp.asarray(blocked(np.asarray(prob.obs_valid), fill=False)),
+        obs_valid=jnp.asarray(blocked(obs_ok, fill=False)),
     )
     rep = BAProblem(
         poses=jnp.pad(prob.poses, ((0, kpad), (0, 0), (0, 0))),
@@ -162,7 +171,7 @@ def _local_residuals(cam: Camera, poses, pts_l, sh: ShardedBA):
 
     w = huber_weight(chi2) * sh.inv_sigma2 * m.astype(r.dtype)
     cost = jnp.sum(jnp.where(m, _huber_cost(chi2), 0.0))
-    return r, Jc, Jp, w, cost
+    return r, Jc, Jp, w, cost, depth_ok
 
 
 def _seg_pt(x, pt_local, Pl):
@@ -174,7 +183,8 @@ def _seg_kf(x, kf_idx, K):
     return jax.ops.segment_sum(x, kf_idx, num_segments=K)
 
 
-def _make_dist_step(cam: Camera, iters: int, n_cg: int, n_host: int):
+def _make_dist_step(cam: Camera, iters: int, n_cg: int, n_host: int,
+                    n_shards: int):
     def body(rep: BAProblem, sh: ShardedBA):
         K = rep.poses.shape[0]
         Pl = sh.points.shape[0]
@@ -184,7 +194,7 @@ def _make_dist_step(cam: Camera, iters: int, n_cg: int, n_host: int):
 
         def lm_iter(_, carry):
             poses, pts_l, lam = carry
-            r, Jc, Jp, w, cost_p = _local_residuals(cam, poses, pts_l, sh)
+            r, Jc, Jp, w, cost_p, _ = _local_residuals(cam, poses, pts_l, sh)
             cost = jax.lax.psum(cost_p, BOTH)
 
             wJc = Jc * w[:, None, None]
@@ -272,14 +282,14 @@ def _make_dist_step(cam: Camera, iters: int, n_cg: int, n_host: int):
                 lambda d, T: se3.orthonormalize(se3.compose(se3.exp(d), T))
             )(dc, poses)
             new_pts = pts_l + dp
-            _, _, _, _, nc_p = _local_residuals(cam, new_poses, new_pts, sh)
+            _, _, _, _, nc_p, _ = _local_residuals(cam, new_poses, new_pts, sh)
             new_cost = jax.lax.psum(nc_p, BOTH)
             finite = (
                 jnp.all(jnp.isfinite(new_poses))
                 & jnp.isfinite(new_cost)
                 & (jax.lax.psum(
                     jnp.all(jnp.isfinite(new_pts)).astype(jnp.int32), BOTH
-                ) == jax.lax.psum(jnp.int32(1), BOTH))
+                ) == n_shards)  # shard count is static — no extra collective
             )
             accept = (new_cost < cost) & finite
             poses = jnp.where(accept, new_poses, poses)
@@ -290,9 +300,11 @@ def _make_dist_step(cam: Camera, iters: int, n_cg: int, n_host: int):
         poses, pts_l, _ = jax.lax.fori_loop(
             0, iters, lm_iter, (rep.poses, sh.points, jnp.float32(1e-4))
         )
-        r, _, _, w, cost_p = _local_residuals(cam, poses, pts_l, sh)
+        r, _, _, w, cost_p, depth_ok = _local_residuals(cam, poses, pts_l, sh)
         chi2 = jnp.sum(r * r, -1) * sh.inv_sigma2
-        inlier = sh.obs_valid & (chi2 < CHI2_MONO)
+        # depth_ok matches the single-chip classification (solvers/ba.py:276):
+        # a behind-camera observation is never an inlier
+        inlier = sh.obs_valid & depth_ok & (chi2 < CHI2_MONO)
         cost = jax.lax.psum(cost_p, BOTH)
         return poses, pts_l, inlier, cost
 
@@ -302,6 +314,7 @@ def _make_dist_step(cam: Camera, iters: int, n_cg: int, n_host: int):
 @partial(jax.jit, static_argnames=("cam", "iters", "n_cg", "mesh"))
 def _run_sharded(cam, rep, sh, mesh, iters, n_cg):
     n_host = mesh.shape[HOST_AXIS]
+    n_shards = int(mesh.devices.size)
     repsp = P()
     shsp = P(BOTH)
     in_rep = BAProblem(
@@ -313,9 +326,9 @@ def _run_sharded(cam, rep, sh, mesh, iters, n_cg):
 
     def wrapped(rep_, sh_):
         sh_ = jax.tree.map(lambda a: a[0], sh_)  # drop the unit shard dim
-        poses, pts_l, inlier, cost = _make_dist_step(cam, iters, n_cg, n_host)(
-            rep_, sh_
-        )
+        poses, pts_l, inlier, cost = _make_dist_step(
+            cam, iters, n_cg, n_host, n_shards
+        )(rep_, sh_)
         return poses, pts_l[None], inlier[None], cost
 
     return jax.shard_map(

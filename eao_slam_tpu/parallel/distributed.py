@@ -64,9 +64,18 @@ def global_mesh(n_virtual_hosts: Optional[int] = None) -> Mesh:
     """
     devs = jax.devices()
     if jax.process_count() > 1:
+        # group devices explicitly by owning process: a raw reshape assumes
+        # jax.devices() is process-contiguous, which PJRT does not guarantee —
+        # if it isn't, the 'host' axis stops aligning with the process grid
+        # and host-axis collectives ride DCN rows that straddle processes
         n_hosts = jax.process_count()
-        per_host = len(devs) // n_hosts
-        grid = np.asarray(devs).reshape(n_hosts, per_host)
+        by_proc = {}
+        for d in devs:
+            by_proc.setdefault(d.process_index, []).append(d)
+        rows = [by_proc[p] for p in sorted(by_proc)]
+        per_host = min(len(r) for r in rows)
+        grid = np.asarray([r[:per_host] for r in rows])
+        assert grid.shape == (n_hosts, per_host)
         return Mesh(grid, (HOST_AXIS, DEV_AXIS))
     if n_virtual_hosts is None:
         n_virtual_hosts = 2 if len(devs) >= 4 else 1

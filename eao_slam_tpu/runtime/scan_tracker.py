@@ -304,10 +304,12 @@ def make_chunk_step(cfg: SystemConfig):
             m.kf_octave[slot], m.kf_kp_valid[slot], m.kf_pt_idx[slot], scale2,
         )
         m = m._replace(kf_pt_idx=m.kf_pt_idx.at[slot].set(fused))
-
-        m = _window_ba(cam, m, kf_count + 1, W, Pl, scale2)
-        m = _cull_points(m, slot)
-        return m, kf_count + 1, pt_count, m.kf_pose[slot], m.kf_pt_idx[slot]
+        # windowed BA + point culling run ONCE per chunk (chunk finalize) —
+        # the reference's LocalMapping BA is likewise abortable/skipped under
+        # keyframe load (mbAbortBA, src/LocalMapping.cc:76,586-600), so BA at
+        # keyframe-batch rate rather than per keyframe matches its semantics
+        # while removing ~15 LM solves per chunk from the scan body.
+        return m, kf_count + 1, pt_count, T, m.kf_pt_idx[slot]
 
     def no_kf_branch(args):
         m, kf_count, pt_count, frame, ts, frame_id, T, cur_pt = args
@@ -422,15 +424,37 @@ def make_chunk_step(cfg: SystemConfig):
 
 
 def make_track_chunk(cfg: SystemConfig):
-    """Returns track_chunk(carry, batch) -> (carry, ChunkOutputs), jitted."""
+    """Returns track_chunk(carry, batch) -> (carry, ChunkOutputs), jitted.
+
+    Structure: lax.scan over the per-frame step, then a chunk-finalize stage
+    (windowed Schur BA + point culling) executed once iff the chunk inserted
+    any keyframe. This mirrors the reference's Tracking-thread / LocalMapping-
+    thread split: tracking runs per frame, BA runs when the mapping thread
+    gets to it (and is aborted under keyframe pressure, src/LocalMapping.cc:76)."""
     step = make_chunk_step(cfg)
+    cam = cfg.camera
+    W = cfg.mapping.local_ba_kf_window
+    Pl = cfg.capacity.local_ba_points
+
+    from eao_slam_tpu.ops.orb import scale_sigma2
+
+    scale2_const = np.asarray(scale_sigma2(cfg.orb.n_levels, cfg.orb.scale_factor))
 
     @jax.jit
     def track_chunk(carry: ChunkCarry, batch: FrameBatch):
         xs = (batch.kp, batch.desc, batch.octave, batch.angle,
               batch.valid, batch.timestamp)
         carry, outs = jax.lax.scan(step, carry, xs)
-        return carry, ChunkOutputs(*outs)
+        outs = ChunkOutputs(*outs)
+
+        def finalize(m):
+            scale2 = jnp.asarray(scale2_const)
+            m = _window_ba(cam, m, carry.kf_count, W, Pl, scale2)
+            return _cull_points(m, carry.kf_count - 1)
+
+        m = jax.lax.cond(jnp.any(outs.is_kf), finalize, lambda m: m, carry.m)
+        carry = carry._replace(m=m)
+        return carry, outs
 
     return track_chunk
 
