@@ -57,9 +57,16 @@ def bilinear(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
 
 
-@partial(jax.jit, static_argnames=("n_pix",))
-def select_edge_pixels(img: jnp.ndarray, n_pix: int, lambda_g: float = 8.0):
-    """Top-n_pix strong-gradient pixels -> (uv [N, 2] f32, valid [N])."""
+@partial(jax.jit, static_argnames=("n_pix", "cell"))
+def select_edge_pixels(img: jnp.ndarray, n_pix: int, lambda_g: float = 8.0,
+                       cell: int = 16):
+    """Spatially-spread strong-gradient pixels -> (uv [N, 2] f32, valid [N]).
+
+    Per-tile top-m selection (m = n_pix / n_tiles) followed by a global
+    top-n_pix trim — the EdgeDrawing chains the reference restricts depth to
+    (src/ProbabilityMapping.cc:454) cover every textured region of the
+    frame, whereas a single global top-k collapses onto the few strongest
+    contours and starves low-contrast areas (the round-2 behavior)."""
     gx, gy, mag = sobel_gradients(img)
     H, W = img.shape
     border = 8
@@ -67,10 +74,28 @@ def select_edge_pixels(img: jnp.ndarray, n_pix: int, lambda_g: float = 8.0):
     xs = jnp.arange(W)[None, :]
     inb = (ys >= border) & (ys < H - border) & (xs >= border) & (xs < W - border)
     score = jnp.where(inb & (mag > lambda_g * 4.0), mag, 0.0)
-    flat = score.reshape(-1)
-    top, idx = jax.lax.top_k(flat, n_pix)
-    uv = jnp.stack([(idx % W).astype(jnp.float32), (idx // W).astype(jnp.float32)], -1)
-    return uv, top > 0.0
+
+    # pack (score | linear idx) so per-tile top-k recovers positions
+    idx_map = (ys * W + xs).astype(jnp.int32)
+    # score field: 11 bits (Sobel magnitude of uint8 input <= 1443), index
+    # field: 20 bits (VGA = 307200 < 2^20); bit 31 stays clear
+    comb = (jnp.clip(score, 0, 2047).astype(jnp.int32) << 20) | idx_map
+    ph = (cell - H % cell) % cell
+    pw = (cell - W % cell) % cell
+    sp = jnp.pad(comb, ((0, ph), (0, pw)))
+    H2, W2 = sp.shape
+    th, tw = H2 // cell, W2 // cell
+    tiles = sp.reshape(th, cell, tw, cell).transpose(0, 2, 1, 3).reshape(
+        th * tw, cell * cell
+    )
+    m = max(1, -(-n_pix // (th * tw)))                      # ceil per-tile quota
+    per_tile, _ = jax.lax.top_k(tiles, min(m, cell * cell))  # [tiles, m]
+    pool = per_tile.reshape(-1)
+    top, _ = jax.lax.top_k(pool, n_pix)                      # global trim
+    pix = top & ((1 << 20) - 1)
+    uv = jnp.stack([(pix % W).astype(jnp.float32),
+                    (pix // W).astype(jnp.float32)], -1)
+    return uv, (top >> 20) > 0
 
 
 @partial(jax.jit, static_argnames=("cam", "n_depth", "sd"))
@@ -186,6 +211,131 @@ def fuse_hypotheses(rho: jnp.ndarray, sigma: jnp.ndarray, ok: jnp.ndarray,
     return rho_f, sigma_f, valid
 
 
+@partial(jax.jit, static_argnames=("cam", "n_gn"))
+def inter_kf_check(
+    cam: Camera,
+    uv: jnp.ndarray,          # [N, 2] ref pixels
+    rho: jnp.ndarray,         # [N] fused inverse depth (ref frame)
+    valid: jnp.ndarray,       # [N]
+    T_ref: jnp.ndarray,       # [3, 4]
+    T_nbs: jnp.ndarray,       # [Hn, 3, 4] neighbor poses
+    nb_rho_maps: jnp.ndarray,   # [Hn, H, W] neighbor fused inv-depth (0 = none)
+    nb_sig_maps: jnp.ndarray,   # [Hn, H, W] neighbor fused sigma
+    min_support: int = 2,
+    n_gn: int = 3,
+):
+    """Inter-keyframe depth-consistency check + Gauss-Newton refinement
+    (ProbabilityMapping::InterKeyFrameDepthChecking,
+    src/ProbabilityMapping.cc:1011-1295).
+
+    Each ref pixel's depth is projected into every neighbor keyframe; the
+    neighbor's own fused inverse depth at the landing pixel must agree under
+    the chi-square(1) 95% gate ((rho_nb - rho_proj)^2 / sigma_nb^2 < 3.84).
+    Pixels with < min_support agreeing neighbors are culled; survivors get
+    their inverse depth Gauss-Newton-refined against the agreeing set
+    (minimizing sum_j ((rho_proj_j(rho) - rho_nb_j) / sigma_nb_j)^2).
+
+    Returns (rho_refined [N], valid [N], n_support [N]).
+    """
+    N = uv.shape[0]
+    Hn = T_nbs.shape[0]
+    H, W = nb_rho_maps.shape[1:]
+
+    xn = jnp.stack([
+        (uv[:, 0] - cam.cx) / cam.fx,
+        (uv[:, 1] - cam.cy) / cam.fy,
+        jnp.ones((N,)),
+    ], -1)                                                  # [N, 3]
+
+    T_rel = jax.vmap(lambda Tn: se3.compose(Tn, se3.inverse(T_ref)))(T_nbs)
+    # z_nb(rho) = (r3 . xn) / rho + t_z  =>  rho_proj = rho / (a + t_z rho)
+    a = jnp.einsum("hj,nj->hn", T_rel[:, 2, :3], xn)        # [Hn, N]
+    tz = T_rel[:, 2, 3][:, None]                            # [Hn, 1]
+
+    def project_lookup(rho_cur):
+        """rho_cur [N] -> per-neighbor (rho_proj, rho_nb, sig_nb, hit).
+
+        The fused depth maps are sparse (edge pixels only) and edges are
+        ~1 px thin, so the landing pixel is probed over a 3x3 neighborhood
+        and the most compatible valid entry wins — the same tolerance the
+        reference gets from its contiguous edge-chain depth maps."""
+        X = xn[None] / jnp.maximum(rho_cur, 1e-6)[None, :, None]  # [1, N, 3]
+        xc = se3.apply(T_rel[:, None], X)                   # [Hn, N, 3]
+        z = xc[..., 2]
+        u = cam.fx * xc[..., 0] / jnp.maximum(z, 1e-6) + cam.cx
+        v = cam.fy * xc[..., 1] / jnp.maximum(z, 1e-6) + cam.cy
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 1, W - 2)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 1, H - 2)
+        in_img = (z > 0.1) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        rho_proj = rho_cur[None] / jnp.maximum(
+            a + tz * rho_cur[None], 1e-6
+        )
+
+        BIG = jnp.float32(1e9)
+        best_err = jnp.full((Hn, N), BIG)
+        rho_nb = jnp.zeros((Hn, N))
+        sig_nb = jnp.zeros((Hn, N))
+        flat_rho = nb_rho_maps.reshape(Hn, -1)
+        flat_sig = nb_sig_maps.reshape(Hn, -1)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                idx = (vi + dy) * W + (ui + dx)
+                r = jnp.take_along_axis(flat_rho, idx, axis=1)
+                s = jnp.take_along_axis(flat_sig, idx, axis=1)
+                ok = (r > 0.0) & (s > 0.0)
+                err = jnp.where(ok, jnp.abs(r - rho_proj), BIG)
+                better = err < best_err
+                best_err = jnp.where(better, err, best_err)
+                rho_nb = jnp.where(better, r, rho_nb)
+                sig_nb = jnp.where(better, s, sig_nb)
+        hit = in_img & (best_err < BIG * 0.5)
+        return rho_proj, rho_nb, sig_nb, hit
+
+    rho_proj, rho_nb, sig_nb, hit = project_lookup(rho)
+    chi2 = (rho_nb - rho_proj) ** 2 / jnp.maximum(sig_nb, 1e-9) ** 2
+    agree = hit & (chi2 < 3.84)                             # [Hn, N]
+    n_support = jnp.sum(agree, axis=0)
+    keep = valid & (n_support >= min_support)
+
+    # GN refinement of rho against the agreeing neighbors
+    def gn_step(rho_cur, _):
+        rho_p, r_nb, s_nb, _ = project_lookup(rho_cur)
+        denom = jnp.maximum(a + tz * rho_cur[None], 1e-6)
+        J = a / (denom * denom)                             # d rho_proj / d rho
+        w = jnp.where(agree, 1.0 / jnp.maximum(s_nb, 1e-9) ** 2, 0.0)
+        r = rho_p - r_nb
+        num = jnp.sum(w * J * r, axis=0)
+        den = jnp.sum(w * J * J, axis=0)
+        step = jnp.where(den > 1e-12, num / jnp.maximum(den, 1e-12), 0.0)
+        new = jnp.clip(rho_cur - step, 1e-4, 1e3)
+        return jnp.where(keep, new, rho_cur), None
+
+    rho_ref, _ = jax.lax.scan(gn_step, rho, None, length=n_gn)
+    return rho_ref, keep, n_support
+
+
+def rasterize_depth(uv, rho, sigma, valid, height: int, width: int,
+                    dilate: int = 1):
+    """Scatter sparse fused pixels into dense inv-depth / sigma maps
+    (the reference keeps per-KF depth_map_/depth_sigma_ cv::Mats,
+    include/KeyFrame.h:153-177). `dilate` stamps each pixel into its
+    (2d+1)^2 neighborhood — the reference's edge-chain maps are contiguous
+    along edges, whereas the top-k selection here subsamples them, so a
+    1-px dilation restores cross-frame lookup coverage of the same edge."""
+    ui = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), dilate, width - 1 - dilate)
+    vi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), dilate, height - 1 - dilate)
+    rho_map = jnp.zeros((height * width,))
+    sig_map = jnp.zeros((height * width,))
+    # center last so exact hits win over dilated stamps
+    offs = [(dy, dx) for dy in range(-dilate, dilate + 1)
+            for dx in range(-dilate, dilate + 1) if (dy, dx) != (0, 0)]
+    for dy, dx in offs + [(0, 0)]:
+        flat = jnp.where(valid, (vi + dy) * width + (ui + dx), height * width)
+        rho_map = rho_map.at[flat].set(jnp.where(valid, rho, 0.0), mode="drop")
+        sig_map = sig_map.at[flat].set(jnp.where(valid, sigma, 0.0), mode="drop")
+    return rho_map.reshape(height, width), sig_map.reshape(height, width)
+
+
 def semidense_reconstruct(
     cam: Camera,
     images: np.ndarray,          # [K, H, W] float32 grayscale
@@ -195,15 +345,32 @@ def semidense_reconstruct(
     sd: SemiDenseConfig = SemiDenseConfig(),
     n_pix: int = 8192,
     n_depth: int = 64,
+    inter_kf: bool = True,
+    min_support: int | None = None,
 ) -> SemiDenseResult:
     """Offline semi-dense pass over keyframes (SemiDenseLoop,
     src/ProbabilityMapping.cc:348-597). depth_ranges mirrors
-    StereoSearchConstraints (:734-747 — mean ± 2 sigma of tracked depths)."""
+    StereoSearchConstraints (:734-747 — mean ± 2 sigma of tracked depths).
+
+    Pass 1: per-keyframe inverse-depth sweep + chi2 hypothesis fusion.
+    Pass 2 (inter_kf): cross-keyframe depth-consistency check with
+    Gauss-Newton refinement and culling (src/ProbabilityMapping.cc:1011-1295),
+    then the world point set is regenerated from refined depths (:700-731).
+    """
     K = len(images)
     imgs = jnp.asarray(images, jnp.float32)
     Ts = jnp.asarray(poses, jnp.float32)
 
-    out_px, out_rho, out_sig, out_val, out_pts = [], [], [], [], []
+    def backproject(uv, rho_f, k):
+        xn = jnp.stack([
+            (uv[:, 0] - cam.cx) / cam.fx,
+            (uv[:, 1] - cam.cy) / cam.fy,
+            jnp.ones((uv.shape[0],)),
+        ], -1)
+        Xc = xn / jnp.maximum(rho_f, 1e-6)[:, None]
+        return se3.apply(se3.inverse(Ts[k])[None], Xc)
+
+    out_px, out_rho, out_sig, out_val = [], [], [], []
     for k in range(K):
         uv, pxv = select_edge_pixels(imgs[k], n_pix, sd.lambda_g)
         z_lo, z_hi = float(depth_ranges[k][0]), float(depth_ranges[k][1])
@@ -222,22 +389,36 @@ def semidense_reconstruct(
         okm = jnp.stack([h[2] for h in hyps], 1)
         rho_f, sig_f, val = fuse_hypotheses(rho, sig, okm, sd.lambda_n)
 
-        # back-project to world
-        xn = jnp.stack([
-            (uv[:, 0] - cam.cx) / cam.fx,
-            (uv[:, 1] - cam.cy) / cam.fy,
-            jnp.ones((uv.shape[0],)),
-        ], -1)
-        Xc = xn / jnp.maximum(rho_f, 1e-6)[:, None]
-        Tw = se3.inverse(Ts[k])
-        Xw = se3.apply(Tw[None], Xc)
-
         out_px.append(uv)
         out_rho.append(rho_f)
         out_sig.append(sig_f)
         out_val.append(val & pxv)
-        out_pts.append(Xw)
 
+    if inter_kf and K >= 2:
+        H, W = int(imgs.shape[1]), int(imgs.shape[2])
+        maps = [rasterize_depth(out_px[k], out_rho[k], out_sig[k],
+                                out_val[k], H, W) for k in range(K)]
+        new_rho, new_val = [], []
+        for k in range(K):
+            nbs = list(neighbors[k])
+            # reference gate: lambdaN=3 of covisN=7 neighbors must agree
+            # (include/ProbabilityMapping.h:45,50) — scaled to the actual
+            # neighbor count when fewer are available
+            ms = min_support if min_support is not None else max(
+                1, round(len(nbs) * 3 / 7)
+            )
+            rho_k, keep_k, _ = inter_kf_check(
+                cam, out_px[k], out_rho[k], out_val[k], Ts[k],
+                jnp.stack([Ts[n] for n in nbs]),
+                jnp.stack([maps[n][0] for n in nbs]),
+                jnp.stack([maps[n][1] for n in nbs]),
+                min_support=ms,
+            )
+            new_rho.append(rho_k)
+            new_val.append(keep_k)
+        out_rho, out_val = new_rho, new_val
+
+    out_pts = [backproject(out_px[k], out_rho[k], k) for k in range(K)]
     return SemiDenseResult(
         pixels=jnp.stack(out_px),
         inv_depth=jnp.stack(out_rho),
