@@ -29,6 +29,8 @@ from eao_slam_tpu.runtime import tracking_kernels as tk
 from eao_slam_tpu.runtime.frame import Frame
 from eao_slam_tpu.runtime.local_mapping import (
     fuse_into_keyframe,
+    merge_duplicate_points,
+    refresh_point_descriptors,
     run_local_ba,
     triangulate_with_neighbor,
 )
@@ -68,11 +70,22 @@ class MonoTracker:
         self.cfg = cfg
         self.cam = cfg.camera
         cap = cfg.capacity
-        self.map: MapState = empty_map_state(cap)
         self.scale2 = scale_sigma2(cfg.orb.n_levels, cfg.orb.scale_factor)
         self.scale2_np = np.asarray(self.scale2)
         self.scale_factors = np.sqrt(self.scale2_np)
+        # tracking-only mode: the map is frozen — no keyframes, no new
+        # points, no object updates (System::ActivateLocalizationMode,
+        # src/System.cc:254-270 + LocalMapping stop)
+        self.localization_only = False
+        self._reset_state()
 
+    def _reset_state(self):
+        """(Re)initialize everything the reference's Tracking::Reset clears
+        (src/Tracking.cc:2345-2393): map, keyframe database, loop closer,
+        object landmarks, state machine."""
+        cfg = self.cfg
+        cap = cfg.capacity
+        self.map: MapState = empty_map_state(cap)
         self.state = NO_IMAGES
         self.rng_key = jax.random.PRNGKey(cfg.seed)
 
@@ -139,6 +152,19 @@ class MonoTracker:
     # public API
     # ------------------------------------------------------------------
 
+    def reset(self):
+        """Full system reset (Tracking::Reset, src/Tracking.cc:2345-2393):
+        clears the map, keyframe database, loop closer and object table and
+        returns the state machine to NO_IMAGES. frame_id keeps counting."""
+        frame_id = self.frame_id
+        self._reset_state()
+        self.frame_id = frame_id
+
+    def set_localization_mode(self, on: bool):
+        """Tracking-only mode: freeze the map and track against it
+        (System::ActivateLocalizationMode, src/System.cc:254-270)."""
+        self.localization_only = bool(on)
+
     def track(self, frame: Frame, timestamp: float,
               gt_pose: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
         """Process one frame; returns the camera-from-world pose [3, 4] or
@@ -156,6 +182,15 @@ class MonoTracker:
             T = self._track_frame(frame, timestamp)
         else:  # LOST
             T = self._relocalize(frame, timestamp)
+        # early-loss auto-reset: losing track right after initialization
+        # means the initial map was bad — rebuild from scratch rather than
+        # relocalize against garbage (src/Tracking.cc:771-779)
+        if (
+            self.state == LOST
+            and len(self.kf_slots) <= 5
+            and not self.localization_only
+        ):
+            self.reset()
         self.records.append(
             FrameRecord(timestamp, None if T is None else T.copy(), self.state,
                         self.ref_kf_tracked if T is not None else 0)
@@ -375,7 +410,8 @@ class MonoTracker:
         # --- EAO object pass (TrackWithMotionModel object work,
         # src/Tracking.cc:1246-1647)
         self._appear_new_object = False
-        if self.obj_updater is not None and bool(jnp.any(frame.box_valid)):
+        if (self.obj_updater is not None and not self.localization_only
+                and bool(jnp.any(frame.box_valid))):
             self.map, self.obj_table, appear_new = self.obj_updater.frame_update(
                 self.map, self.obj_table,
                 (frame.boxes, frame.box_class, frame.box_score, frame.box_valid),
@@ -397,7 +433,7 @@ class MonoTracker:
                 frame.lines, frame.line_valid,
             )
 
-        if self._need_new_keyframe(frame, n2):
+        if not self.localization_only and self._need_new_keyframe(frame, n2):
             cur_pt = np.asarray(r2.cur_pt)
             self._insert_keyframe(frame, timestamp, T, cur_pt,
                                   by_object=self._appear_new_object)
@@ -577,35 +613,32 @@ class MonoTracker:
         self.kfdb.add(slot, np.asarray(vec))
 
     def covis_matrix(self) -> np.ndarray:
-        """[K, K] covisibility weights from the host observation mirror
-        (KeyFrame::GetBestCovisibilityKeyFrames graph, batched)."""
-        K = self.cfg.capacity.max_keyframes
-        P = self.cfg.capacity.max_points
-        inc = np.zeros((K, P), np.float32)
-        for s in self.kf_slots:
-            if not self.kf_valid_host[s]:
-                continue
-            pts = self.kf_pt_host[s]
-            inc[s, pts[pts >= 0]] = 1.0
-        C = (inc @ inc.T).astype(np.int64)
-        np.fill_diagonal(C, 0)
-        return C
+        """[K, K] covisibility weights (KeyFrame::GetBestCovisibilityKeyFrames
+        graph) — ONE device incidence matmul over the observation table
+        (runtime/compaction.py:make_covis) instead of the round-2 host-side
+        O(K*P) numpy materialization."""
+        if not hasattr(self, "_covis_fn"):
+            from eao_slam_tpu.runtime.compaction import make_covis
+
+            self._covis_fn = make_covis(self.cfg.capacity.max_points)
+        return np.asarray(self._covis_fn(
+            self.map.kf_pt_idx, self.map.kf_kp_valid, self.map.kf_valid
+        )).astype(np.int64)
 
     def _covisible_neighbors(self, slot: int, k: int, min_weight: int = 10):
         """Top-k covisible keyframes by shared map points (host mirror of
-        KeyFrame::UpdateConnections)."""
-        cur = self.kf_pt_host[slot]
-        cur_set = cur[cur >= 0]
+        KeyFrame::UpdateConnections) — one row of the device covis matmul."""
+        row = self.covis_matrix()[slot]
+        order = np.argsort(-row, kind="stable")
         out = []
-        for s in self.kf_slots:
-            if s == slot or not self.kf_valid_host[s]:
-                continue
-            other = self.kf_pt_host[s]
-            w = int(np.isin(cur_set, other[other >= 0]).sum())
-            if w >= min_weight:
-                out.append((w, s))
-        out.sort(reverse=True)
-        return [s for _, s in out[:k]]
+        for s in order:
+            if row[s] < min_weight:
+                break
+            if s != slot and self.kf_valid_host[s]:
+                out.append(int(s))
+            if len(out) >= k:
+                break
+        return out
 
     def _local_mapping(self):
         """Per-keyframe mapping pass: triangulate new points with covisible
@@ -618,19 +651,44 @@ class MonoTracker:
         for nb in neighbors:
             self._triangulate_new_points(slot, nb)
 
-        # fuse existing map points into the new KF's unmatched features
-        fused = fuse_into_keyframe(
+        # fuse existing map points into the new KF's unmatched features,
+        # and the other direction too — the reference's SearchInNeighbors
+        # fuses BOTH ways (src/LocalMapping.cc:459-539)
+        for s in [slot] + list(neighbors[:2]):
+            fused = fuse_into_keyframe(
+                self.cam,
+                self.map.pt_pos, self.map.pt_valid, self.map.pt_desc,
+                self.map.pt_min_dist, self.map.pt_max_dist,
+                self.map.kf_pose[s],
+                self.map.kf_kp[s], self.map.kf_desc[s],
+                self.map.kf_octave[s], self.map.kf_kp_valid[s],
+                self.map.kf_pt_idx[s],
+                self.scale2,
+            )
+            self.map = self.map._replace(
+                kf_pt_idx=self.map.kf_pt_idx.at[s].set(fused)
+            )
+            self.kf_pt_host[s] = np.asarray(fused)
+
+        # duplicate-point merge (ORBmatcher::Fuse conflict branch +
+        # MapPoint::Replace): points landing on already-bound features of
+        # the new keyframe absorb / get absorbed by the holder
+        new_kf_pt, new_pt_valid = merge_duplicate_points(
             self.cam,
             self.map.pt_pos, self.map.pt_valid, self.map.pt_desc,
             self.map.pt_min_dist, self.map.pt_max_dist,
+            self.map.kf_pt_idx,
             self.map.kf_pose[slot],
             self.map.kf_kp[slot], self.map.kf_desc[slot],
             self.map.kf_octave[slot], self.map.kf_kp_valid[slot],
             self.map.kf_pt_idx[slot],
             self.scale2,
         )
-        self.map = self.map._replace(kf_pt_idx=self.map.kf_pt_idx.at[slot].set(fused))
-        self.kf_pt_host[slot] = np.asarray(fused)
+        self.map = self.map._replace(kf_pt_idx=new_kf_pt, pt_valid=new_pt_valid)
+        kf_pt_np = np.asarray(new_kf_pt)
+        for s in self.kf_slots:
+            self.kf_pt_host[s] = kf_pt_np[s]
+        self.pt_valid_host &= np.asarray(new_pt_valid)
 
         # windowed BA over the most recent keyframes
         W = min(len(self.kf_slots), cfg.mapping.local_ba_kf_window)
@@ -644,6 +702,21 @@ class MonoTracker:
         )
         self._apply_ba(ba)
         self._cull_points()
+
+        # distinctive-descriptor refresh over the window
+        # (MapPoint::ComputeDistinctiveDescriptors after fusion)
+        Wpad = cfg.mapping.local_ba_kf_window
+        win = np.full((Wpad,), 0, np.int32)
+        win[: len(window)] = window
+        wv = np.zeros((Wpad,), bool)
+        wv[: len(window)] = True
+        self.map = self.map._replace(
+            pt_desc=refresh_point_descriptors(
+                self.map.kf_pt_idx, self.map.kf_desc, self.map.kf_kp_valid,
+                self.map.pt_desc, jnp.asarray(win), jnp.asarray(wv),
+                n_win=Wpad,
+            )
+        )
 
         # EAO keyframe-rate object pass: merge potential associations and
         # resolve 3D-overlapping cuboids (src/LocalMapping.cc:799-882)

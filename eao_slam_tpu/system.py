@@ -93,6 +93,28 @@ class System:
         return T
 
     # ------------------------------------------------------------------
+    # mode switches (System::TrackMonocular preamble, src/System.cc:254-286)
+    # ------------------------------------------------------------------
+
+    def reset(self):
+        """Clear the map and restart tracking from scratch (the viewer's
+        Reset button / System::Reset, src/System.cc:283-286)."""
+        self.tracker.reset()
+        self._kf_images.clear()
+        self._semidense_result = None
+        self._semidense_slots = []
+        self._lines3d = None
+        self._mesh_tris = None
+
+    def activate_localization_mode(self):
+        """Tracking-only: freeze the map, keep localizing against it
+        (System::ActivateLocalizationMode, src/System.cc:254-270)."""
+        self.tracker.set_localization_mode(True)
+
+    def deactivate_localization_mode(self):
+        self.tracker.set_localization_mode(False)
+
+    # ------------------------------------------------------------------
 
     def shutdown(self, semidense: bool = True):
         """Offline phase (the ProbabilityMapping thread's run-after-tracking
