@@ -179,12 +179,108 @@ def save_vocabulary(path: str, voc: Vocabulary) -> None:
 
 
 def load_vocabulary(path: str) -> Vocabulary:
+    if path.endswith(".txt"):
+        return load_vocabulary_text(path)
     z = np.load(path)
     depth = int(z["depth"])
     return Vocabulary(
         levels=tuple(jnp.asarray(z[f"level{l}"]) for l in range(depth)),
         idf=jnp.asarray(z["idf"]),
     )
+
+
+def load_vocabulary_text(path: str) -> Vocabulary:
+    """Ingest a DBoW2 text-format ORB vocabulary (the reference's trained
+    ORBvoc.txt; format per TemplatedVocabulary::loadFromTextFile,
+    Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1350-1434 and the
+    text<->binary tool tools/bin_vocabulary.cc:1-52).
+
+    File layout: header `k L scoring weighting`, then one node per line:
+    `parent_id is_leaf b0 .. b31 weight` with the 32 descriptor bytes in
+    row order. Nodes are re-laid into this module's implicit complete-tree
+    tables: under-full interior nodes are padded by duplicating their first
+    child (ties lose argmin deterministically), and early leaves propagate
+    down as single-child chains so every word sits at depth L. Word ids are
+    therefore a permutation of DBoW2's — scoring (L1 over tf-idf
+    histograms) and same-node bucketing are permutation-invariant, and
+    matching is internal-only.
+    """
+    with open(path) as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        parents, leaf_flags, descs, weights = [], [], [], []
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parents.append(int(parts[0]))
+            leaf_flags.append(int(parts[1]) > 0)
+            descs.append(np.array([int(x) for x in parts[2:34]], np.uint8))
+            weights.append(float(parts[34]))
+    n = len(parents)
+    desc = (np.ascontiguousarray(np.stack(descs)).view(np.uint32)
+            if n else np.zeros((0, 8), np.uint32))
+    parents = np.asarray(parents)
+    weights = np.asarray(weights, np.float32)
+    leaf_flags = np.asarray(leaf_flags)
+
+    children: dict[int, list[int]] = {}
+    for nid1, pid in enumerate(parents):
+        children.setdefault(pid, []).append(nid1 + 1)  # file ids start at 1
+
+    levels = []
+    idf = np.zeros((k ** L,), np.float32)
+    # frontier: per implicit-tree group at this level, the file node id
+    # backing it (-1 = padding copy of some real node)
+    frontier = [0]  # root = file node 0 (no descriptor)
+    for lvl in range(L):
+        table = np.zeros((len(frontier) * k, 8), np.uint32)
+        nxt = []
+        for g, nid in enumerate(frontier):
+            ch = children.get(nid, []) if nid >= 0 else []
+            if not ch and nid >= 1:
+                # early leaf (or padding): propagate the node itself down
+                ch = [nid]
+            for c in range(k):
+                node = ch[c] if c < len(ch) else (ch[0] if ch else -1)
+                real = c < max(len(ch), 1) and node >= 1
+                if node >= 1:
+                    table[g * k + c] = desc[node - 1]
+                nxt.append(node if real else -1)
+                if lvl == L - 1 and real:
+                    idf[g * k + c] = weights[node - 1]
+        levels.append(table)
+        frontier = nxt
+
+    return Vocabulary(
+        levels=tuple(jnp.asarray(t) for t in levels),
+        idf=jnp.asarray(idf),
+    )
+
+
+def save_vocabulary_text(path: str, voc: Vocabulary) -> None:
+    """Write the vocabulary in the DBoW2 text format (saveToTextFile
+    parity; the inverse of load_vocabulary_text). Interior weights are 0
+    like the reference writes for non-leaf nodes."""
+    k, L = voc.k, voc.depth
+    idf = np.asarray(voc.idf)
+    lines = [f"{k} {L} 0 0\n"]   # scoring L1_NORM=0, weighting TF_IDF=0
+    # emit BFS: level tables in order; file ids are 1-based in emit order,
+    # so a node at (lvl, row) has file id offset(lvl) + row + 1
+    offsets = [0]
+    for lvl in range(L):
+        offsets.append(offsets[-1] + int(np.asarray(voc.levels[lvl]).shape[0]))
+    for lvl in range(L):
+        t = np.asarray(voc.levels[lvl])
+        bytes_ = t.view(np.uint8).reshape(t.shape[0], 32)
+        for row in range(t.shape[0]):
+            pid = 0 if lvl == 0 else offsets[lvl - 1] + row // k + 1
+            is_leaf = 1 if lvl == L - 1 else 0
+            w = float(idf[row]) if lvl == L - 1 else 0.0
+            ds = " ".join(str(int(b)) for b in bytes_[row])
+            lines.append(f"{pid} {is_leaf} {ds} {w}\n")
+    with open(path, "w") as f:
+        f.writelines(lines)
 
 
 # ---------------------------------------------------------------------------

@@ -139,3 +139,62 @@ def test_keyframe_db_reloc_and_loop(voc):
     cands = db.detect_loop_candidates(
         db.vectors[8], covis[8], covis, min_score=0.05, self_slot=8)
     assert 3 not in cands
+
+
+class TestTextFormat:
+    def test_text_roundtrip(self, tmp_path):
+        """DBoW2 text-format ingestion (TemplatedVocabulary.h:1350-1434):
+        save -> load reproduces the tree tables, weights, and quantization."""
+        import jax.numpy as jnp
+
+        from eao_slam_tpu.ops.bow import (
+            build_vocabulary,
+            load_vocabulary_text,
+            quantize,
+            save_vocabulary_text,
+        )
+
+        rng = np.random.default_rng(3)
+        desc = rng.integers(0, 2**32, (3000, 8), dtype=np.uint32)
+        voc = build_vocabulary(desc, k=4, depth=3)
+        p = str(tmp_path / "voc.txt")
+        save_vocabulary_text(p, voc)
+
+        voc2 = load_vocabulary_text(p)
+        assert voc2.k == voc.k and voc2.depth == voc.depth
+        for a, b in zip(voc.levels, voc2.levels):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(
+            np.asarray(voc.idf), np.asarray(voc2.idf), rtol=1e-5
+        )
+        q = jnp.asarray(rng.integers(0, 2**32, (64, 8), dtype=np.uint32))
+        w1, n1 = quantize(voc, q)
+        w2, n2 = quantize(voc2, q)
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+    def test_text_underfull_tree(self, tmp_path):
+        """A hand-written vocabulary with an under-full interior node and an
+        early leaf still loads into the complete-tree layout."""
+        from eao_slam_tpu.ops.bow import load_vocabulary_text
+
+        k, L = 2, 2
+        lines = [f"{k} {L} 0 0"]
+
+        def node(pid, leaf, byteval, w):
+            ds = " ".join([str(byteval)] * 32)
+            return f"{pid} {leaf} {ds} {w}"
+
+        # root children: node1 (interior, full), node2 (early leaf)
+        lines.append(node(0, 0, 1, 0))    # id 1
+        lines.append(node(0, 1, 2, 0.5))  # id 2: early leaf at level 0
+        lines.append(node(1, 1, 3, 0.7))  # id 3: leaf under node 1
+        # node 1 under-full: only one child
+        p = str(tmp_path / "voc.txt")
+        with open(p, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        voc = load_vocabulary_text(p)
+        assert voc.k == 2 and voc.depth == 2
+        idf = np.asarray(voc.idf)
+        assert (idf > 0).sum() == 2          # two real words
+        assert abs(sorted(idf[idf > 0])[0] - 0.5) < 1e-6
+        assert abs(sorted(idf[idf > 0])[1] - 0.7) < 1e-6
