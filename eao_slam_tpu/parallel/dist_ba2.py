@@ -195,16 +195,22 @@ def _make_dist_step(cam: Camera, iters: int, n_cg: int, n_host: int,
         def lm_iter(_, carry):
             poses, pts_l, lam = carry
             r, Jc, Jp, w, cost_p, _ = _local_residuals(cam, poses, pts_l, sh)
-            cost = jax.lax.psum(cost_p, BOTH)
 
             wJc = Jc * w[:, None, None]
             wJp = Jp * w[:, None, None]
-            Hcc = jax.lax.psum(
-                _seg_kf(jnp.einsum("oki,okj->oij", wJc, Jc), sh.kf_idx, K), BOTH
+            # ONE packed psum for (Hcc, bc, cost): the payloads are KBs, so
+            # per-collective LATENCY dominates on any fabric — packing cuts
+            # 3 round trips per LM iteration to 1
+            occ = _seg_kf(jnp.einsum("oki,okj->oij", wJc, Jc), sh.kf_idx, K)
+            obc = _seg_kf(jnp.einsum("oki,ok->oi", wJc, r), sh.kf_idx, K)
+            packed = jax.lax.psum(
+                jnp.concatenate([
+                    occ.reshape(-1), obc.reshape(-1), cost_p[None]
+                ]), BOTH,
             )
-            bc = jax.lax.psum(
-                _seg_kf(jnp.einsum("oki,ok->oi", wJc, r), sh.kf_idx, K), BOTH
-            )
+            Hcc = packed[: K * 36].reshape(K, 6, 6)
+            bc = packed[K * 36 : K * 42].reshape(K, 6)
+            cost = packed[K * 42]
             Hpp = _seg_pt(jnp.einsum("oki,okj->oij", wJp, Jp), sh.pt_local, Pl)
             bp = _seg_pt(jnp.einsum("oki,ok->oi", wJp, r), sh.pt_local, Pl)
 
@@ -283,13 +289,17 @@ def _make_dist_step(cam: Camera, iters: int, n_cg: int, n_host: int,
             )(dc, poses)
             new_pts = pts_l + dp
             _, _, _, _, nc_p, _ = _local_residuals(cam, new_poses, new_pts, sh)
-            new_cost = jax.lax.psum(nc_p, BOTH)
+            # pack (new_cost, points-finite) into one psum
+            pk = jax.lax.psum(
+                jnp.stack([
+                    nc_p, jnp.all(jnp.isfinite(new_pts)).astype(jnp.float32)
+                ]), BOTH,
+            )
+            new_cost = pk[0]
             finite = (
                 jnp.all(jnp.isfinite(new_poses))
                 & jnp.isfinite(new_cost)
-                & (jax.lax.psum(
-                    jnp.all(jnp.isfinite(new_pts)).astype(jnp.int32), BOTH
-                ) == n_shards)  # shard count is static — no extra collective
+                & (pk[1] == n_shards)  # every shard reported finite points
             )
             accept = (new_cost < cost) & finite
             poses = jnp.where(accept, new_poses, poses)
