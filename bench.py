@@ -49,32 +49,148 @@ N_CHUNKS = 4          # timed chunks
 CACHE = os.path.join(os.path.dirname(__file__), ".bench_frames.npz")
 
 
+N_BOXES = 8
+
+
 def _dataset(n_frames: int):
-    """Rendered image sequence + GT (host-side, cached like a dataset dir)."""
+    """Rendered image sequence + GT + offline-YOLO-contract boxes
+    (host-side, cached like a dataset directory)."""
     from eao_slam_tpu.geometry.camera import TUM3
     from eao_slam_tpu.io.synthetic import (
         make_arc_trajectory,
         make_room_scene,
+        project_boxes,
         render_image,
     )
 
     if os.path.exists(CACHE):
         d = np.load(CACHE)
-        if d["images"].shape[0] >= n_frames:
-            return d["images"][:n_frames], d["ts"][:n_frames], d["gt"][:n_frames]
+        if d["images"].shape[0] >= n_frames and "boxes" in d:
+            return {k: d[k][:n_frames] for k in
+                    ("images", "ts", "gt", "boxes", "bcls", "bscore", "bvalid")}
 
     scene = make_room_scene(seed=5, n_landmarks=200, n_objects=3)
     ts, gt = make_arc_trajectory(n_frames=n_frames, sweep_deg=60.0)
     images = np.stack(
         [render_image(scene, TUM3, T) for T in gt]
     )  # [N, H, W] uint8
-    np.savez_compressed(CACHE, images=images, ts=ts, gt=gt)
-    return images, ts, gt
+    bx = [project_boxes(scene, TUM3, T, N_BOXES) for T in gt]
+    data = dict(
+        images=images, ts=ts, gt=gt,
+        boxes=np.stack([np.asarray(b[0]) for b in bx]),
+        bcls=np.stack([np.asarray(b[1]) for b in bx]),
+        bscore=np.stack([np.asarray(b[2]) for b in bx]),
+        bvalid=np.stack([np.asarray(b[3]) for b in bx]),
+    )
+    np.savez_compressed(CACHE, **data)
+    return data
 
 
 def _centers(Ts: np.ndarray) -> np.ndarray:
     """Camera centers -R^T t from [N, 3, 4] camera-from-world poses."""
     return np.einsum("nij,ni->nj", -Ts[:, :3, :3], Ts[:, :3, 3])
+
+
+def _run_mode(cfg, data, n_timed_chunks: int, with_boxes: bool):
+    """Drive one tracker config through warmup + timed chunks.
+    Returns (fps, tracked, total_frames, ate, n_objects)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eao_slam_tpu.io.trajectory import ate_rmse
+    from eao_slam_tpu.ops.orb import extract_orb
+    from eao_slam_tpu.runtime.frame import frame_from_arrays
+    from eao_slam_tpu.runtime.scan_tracker import ChunkedTracker, FrameBatch
+
+    images, ts, gt = data["images"], data["ts"], data["gt"]
+    F = cfg.capacity.max_features
+    tracker = ChunkedTracker(cfg, chunk=CHUNK)
+    inner_chunk = tracker._track_chunk
+
+    def extract(im_u8):
+        return extract_orb(im_u8.astype(jnp.float32), n_features=F,
+                           n_levels=cfg.orb.n_levels)
+
+    if with_boxes:
+        @jax.jit
+        def extract_and_track(carry, images_u8, timestamps, bxs, bc, bs, bv):
+            feats = jax.vmap(extract)(images_u8)
+            batch = FrameBatch(kp=feats.kp, desc=feats.desc,
+                               octave=feats.octave, angle=feats.angle,
+                               valid=feats.valid, timestamp=timestamps,
+                               boxes=bxs, box_class=bc, box_score=bs,
+                               box_valid=bv)
+            return inner_chunk(carry, batch)
+    else:
+        @jax.jit
+        def extract_and_track(carry, images_u8, timestamps):
+            """THE measured program: images in -> poses/states out."""
+            feats = jax.vmap(extract)(images_u8)
+            batch = FrameBatch(kp=feats.kp, desc=feats.desc,
+                               octave=feats.octave, angle=feats.angle,
+                               valid=feats.valid, timestamp=timestamps)
+            return inner_chunk(carry, batch)
+
+    def chunk_args(lo):
+        args = (jnp.asarray(images[lo:lo + CHUNK]),
+                jnp.asarray(ts[lo:lo + CHUNK], jnp.float32))
+        if with_boxes:
+            args += (jnp.asarray(data["boxes"][lo:lo + CHUNK]),
+                     jnp.asarray(data["bcls"][lo:lo + CHUNK]),
+                     jnp.asarray(data["bscore"][lo:lo + CHUNK]),
+                     jnp.asarray(data["bvalid"][lo:lo + CHUNK]))
+        return args
+
+    # --- bootstrap on the interactive path (same front end, per-frame)
+    ex1 = jax.jit(extract)
+    i = 0
+    while i < len(images) and tracker.carry is None:
+        f = ex1(jnp.asarray(images[i]))
+        kw = {}
+        if with_boxes:
+            kw = dict(boxes=jnp.asarray(data["boxes"][i]),
+                      box_class=jnp.asarray(data["bcls"][i]),
+                      box_score=jnp.asarray(data["bscore"][i]),
+                      box_valid=jnp.asarray(data["bvalid"][i]))
+        fr = frame_from_arrays(cfg, kp=f.kp, desc=f.desc, octave=f.octave,
+                               valid=f.valid, angle=f.angle, **kw)
+        tracker.bootstrap(fr, float(ts[i]))
+        i += 1
+    assert tracker.carry is not None, "initialization failed"
+
+    # warmup chunk (compiles the whole program; not timed)
+    carry, outs = extract_and_track(tracker.carry, *chunk_args(i))
+    jax.block_until_ready((carry, outs))
+    i += CHUNK
+
+    # stage the timed dataset in device memory (the reference's analog is
+    # the image already in RAM when its timed span starts — see docstring)
+    staged = [chunk_args(i + k * CHUNK) for k in range(n_timed_chunks)]
+    jax.block_until_ready(staged)
+
+    # --- timed region: n_timed_chunks dispatches, one sync at the end ------
+    all_outs = []
+    t0 = time.perf_counter()
+    for args in staged:
+        carry, outs = extract_and_track(carry, *args)
+        all_outs.append(outs)
+    all_outs = jax.device_get(all_outs)
+    dt = time.perf_counter() - t0
+
+    n_frames = n_timed_chunks * CHUNK
+    fps = n_frames / dt
+    states = np.concatenate([np.asarray(o.state) for o in all_outs])
+    poses = np.concatenate([np.asarray(o.T) for o in all_outs])
+    tracked = int(np.sum(states == 2))
+    ok = states == 2
+    gt_timed = gt[i:i + n_frames]
+    ate = ate_rmse(_centers(poses[ok]), _centers(gt_timed[ok]), with_scale=True)
+
+    n_objects = 0
+    if with_boxes:
+        tab = carry.table
+        n_objects = int(np.sum(np.asarray(tab.valid) & ~np.asarray(tab.bad)))
+    return fps, tracked, n_frames, ate, n_objects
 
 
 def main():
@@ -87,97 +203,46 @@ def main():
     except Exception:
         pass
 
-    import jax.numpy as jnp
+    from eao_slam_tpu.config import CapacityConfig, DemoFlag, tum3_config
 
-    from eao_slam_tpu.config import CapacityConfig, tum3_config
-    from eao_slam_tpu.io.trajectory import ate_rmse
-    from eao_slam_tpu.ops.orb import extract_orb
-    from eao_slam_tpu.runtime.frame import frame_from_arrays
-    from eao_slam_tpu.runtime.scan_tracker import ChunkedTracker, FrameBatch
-
-    cfg = tum3_config().replace(
-        capacity=CapacityConfig(max_keyframes=128, max_points=8192,
-                                max_features=1024, local_ba_points=2048)
-    )
-    F = cfg.capacity.max_features
-
+    cap = CapacityConfig(max_keyframes=128, max_points=8192,
+                         max_features=1024, local_ba_points=2048,
+                         max_boxes=N_BOXES, max_objects=32)
     n_frames = 8 + CHUNK * (1 + N_CHUNKS)  # bootstrap + warmup + timed
-    images, ts, gt = _dataset(n_frames)
+    data = _dataset(n_frames)
 
-    tracker = ChunkedTracker(cfg, chunk=CHUNK)
-    inner_chunk = tracker._track_chunk
-
-    def extract(im_u8):
-        return extract_orb(im_u8.astype(jnp.float32), n_features=F,
-                           n_levels=cfg.orb.n_levels)
-
-    @jax.jit
-    def extract_and_track(carry, images_u8, timestamps):
-        """THE measured program: images in -> poses/states out."""
-        feats = jax.vmap(extract)(images_u8)
-        batch = FrameBatch(kp=feats.kp, desc=feats.desc, octave=feats.octave,
-                           angle=feats.angle, valid=feats.valid,
-                           timestamp=timestamps)
-        return inner_chunk(carry, batch)
-
-    # --- bootstrap on the interactive path (same front end, per-frame)
-    ex1 = jax.jit(extract)
-    i = 0
-    while i < len(images) and tracker.carry is None:
-        f = ex1(jnp.asarray(images[i]))
-        fr = frame_from_arrays(cfg, kp=f.kp, desc=f.desc, octave=f.octave,
-                               valid=f.valid, angle=f.angle)
-        tracker.bootstrap(fr, float(ts[i]))
-        i += 1
-    assert tracker.carry is not None, "initialization failed"
-
-    # warmup chunk (compiles the whole program; not timed)
-    ims_w = jnp.asarray(images[i:i + CHUNK])
-    tss_w = jnp.asarray(ts[i:i + CHUNK], jnp.float32)
-    carry, outs = extract_and_track(tracker.carry, ims_w, tss_w)
-    jax.block_until_ready((carry, outs))
-    i += CHUNK
-
-    # stage the timed dataset in device memory (the reference's analog is
-    # the image already in RAM when its timed span starts — see docstring)
-    staged = []
-    for k in range(N_CHUNKS):
-        lo = i + k * CHUNK
-        staged.append((jnp.asarray(images[lo:lo + CHUNK]),
-                       jnp.asarray(ts[lo:lo + CHUNK], jnp.float32)))
-    jax.block_until_ready(staged)
-
-    # --- timed region: N_CHUNKS dispatches, one sync at the end ------------
-    all_outs = []
-    t0 = time.perf_counter()
-    for ims, tss in staged:
-        carry, outs = extract_and_track(carry, ims, tss)
-        all_outs.append(outs)
-    all_outs = jax.device_get(all_outs)
-    dt = time.perf_counter() - t0
-
-    fps = N_CHUNKS * CHUNK / dt
-
-    # --- quality gates: the number only counts if tracking held ------------
-    states = np.concatenate([np.asarray(o.state) for o in all_outs])
-    poses = np.concatenate([np.asarray(o.T) for o in all_outs])
-    tracked = int(np.sum(states == 2))
-    assert tracked >= int(0.9 * N_CHUNKS * CHUNK), (
-        f"tracking collapsed: {tracked}/{N_CHUNKS * CHUNK} OK"
+    # headline: geometry pipeline (mono_tum None mode — the reference's
+    # default timing configuration)
+    fps, tracked, total, ate, _ = _run_mode(
+        tum3_config().replace(capacity=cap), data, N_CHUNKS, with_boxes=False
     )
-    ok = states == 2
-    gt_timed = gt[i:i + N_CHUNKS * CHUNK]
-    ate = ate_rmse(_centers(poses[ok]), _centers(gt_timed[ok]), with_scale=True)
+    # quality gates: the number only counts if tracking held.
     # 0.08 m on this ~2 m arc (4%): chunk-rate BA tracks at 5.5-6 cm here
     # (per-keyframe BA manages 4.7 cm at less than half the throughput);
     # collapse or real drift shows up as tens of centimeters
+    assert tracked >= int(0.9 * total), f"tracking collapsed: {tracked}/{total}"
     assert ate < 0.08, f"trajectory drifted: sim3 ATE {ate:.4f} m >= 0.08 m"
+
+    # companion number: the EAO mode (ensemble association + iForest +
+    # object landmarks) running device-resident in the same chunk program
+    fps_eao, tracked_e, total_e, ate_e, n_obj = _run_mode(
+        tum3_config(DemoFlag.EAO).replace(capacity=cap), data, 2,
+        with_boxes=True,
+    )
+    assert tracked_e >= int(0.9 * total_e), (
+        f"EAO tracking collapsed: {tracked_e}/{total_e}"
+    )
+    assert n_obj >= 2, f"EAO mode built only {n_obj} object landmarks"
 
     result = {
         "metric": "tracked_frames_per_s",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "eao_mode_fps": round(fps_eao, 2),
+        "eao_mode_vs_baseline": round(fps_eao / BASELINE_FPS, 2),
+        "eao_mode_objects": n_obj,
+        "ate_m": round(float(ate), 4),
     }
     print(json.dumps(result))
 

@@ -41,6 +41,8 @@ from eao_slam_tpu.runtime import tracking_kernels as tk
 from eao_slam_tpu.runtime.frame import Frame
 from eao_slam_tpu.runtime.local_mapping import (
     fuse_into_keyframe,
+    merge_duplicate_points,
+    refresh_point_descriptors,
     triangulate_with_neighbor,
 )
 from eao_slam_tpu.runtime.map_state import MapState
@@ -72,6 +74,8 @@ class ChunkCarry(NamedTuple):
     kf_count: jnp.ndarray      # int32 — monotonic keyframe slot allocator
     pt_count: jnp.ndarray      # int32 — monotonic point slot allocator
     frame_id: jnp.ndarray      # int32
+    table: object              # ObjectTable ([1]-slot dummy when disabled)
+    obj_key: jnp.ndarray       # [2] uint32 PRNG key for the iForest pass
 
 
 class ChunkOutputs(NamedTuple):
@@ -82,7 +86,11 @@ class ChunkOutputs(NamedTuple):
 
 
 class FrameBatch(NamedTuple):
-    """Stacked front-end outputs for one chunk: [C, ...] arrays."""
+    """Stacked front-end outputs for one chunk: [C, ...] arrays.
+
+    The box/line fields carry the offline-YOLO detections and 2D segments
+    when the EAO object layer is enabled (DemoFlag with objects); they stay
+    None in geometry-only modes, so existing callers are unaffected."""
 
     kp: jnp.ndarray
     desc: jnp.ndarray
@@ -90,6 +98,12 @@ class FrameBatch(NamedTuple):
     angle: jnp.ndarray
     valid: jnp.ndarray
     timestamp: jnp.ndarray  # [C]
+    boxes: object = None       # [C, Bx, 4]
+    box_class: object = None   # [C, Bx]
+    box_score: object = None   # [C, Bx]
+    box_valid: object = None   # [C, Bx]
+    lines: object = None       # [C, L, 4]
+    line_valid: object = None  # [C, L]
 
 
 # ---------------------------------------------------------------------------
@@ -240,14 +254,37 @@ def make_chunk_step(cfg: SystemConfig):
     W = mcfg.local_ba_kf_window
     Pl = cap.local_ba_points
     n_tri_neighbors = min(2, mcfg.triangulation_neighbors)
+    objects_on = cfg.flag.objects_enabled
+    yaw_on = cfg.flag.use_yaw_lines
 
     from eao_slam_tpu.ops.orb import scale_sigma2
 
     scale2_const = np.asarray(scale_sigma2(cfg.orb.n_levels, cfg.orb.scale_factor))
     scale_factors_const = np.sqrt(scale2_const)
 
+    if objects_on:
+        # EAO object layer inside the scan: the same three jitted stages the
+        # host ObjectUpdater runs (objects/association.py), with the cascade
+        # resolved ON DEVICE by objects/resolve.py (bit-exact vs the host
+        # resolver, tests/test_resolve_device.py) — zero per-frame readbacks.
+        # Mirrors the object work in TrackWithMotionModel
+        # (src/Tracking.cc:1246-1647).
+        from eao_slam_tpu.objects import stats as obj_stats
+        from eao_slam_tpu.objects.association import (
+            N_OBJ_SAMPLE,
+            apply_frame_update,
+            compute_detection_stats,
+        )
+        from eao_slam_tpu.objects.iforest import psi_depth_for
+        from eao_slam_tpu.objects.resolve import resolve_cascade
+
+        t_table_const = np.asarray(obj_stats.make_t_table())
+        if_psi, if_depth = psi_depth_for(N_OBJ_SAMPLE)
+        if yaw_on:
+            from eao_slam_tpu.objects.yaw import update_yaw, yaw_sample_scores
+
     def kf_branch(args):
-        m, kf_count, pt_count, frame, ts, frame_id, T, cur_pt = args
+        m, kf_count, pt_count, frame, ts, frame_id, T, cur_pt, by_obj = args
         K = m.kf_pose.shape[0]
         scale2 = jnp.asarray(scale2_const)
         scale_factors = jnp.asarray(scale_factors_const)
@@ -264,6 +301,9 @@ def make_chunk_step(cfg: SystemConfig):
             kf_angle=m.kf_angle.at[slot].set(frame[3]),
             kf_kp_valid=m.kf_kp_valid.at[slot].set(frame[4]),
             kf_pt_idx=m.kf_pt_idx.at[slot].set(cur_pt),
+            # object-created keyframes are exempt from culling
+            # (src/LocalMapping.cc:651-652)
+            kf_by_object=m.kf_by_object.at[slot].set(by_obj),
         )
 
         # covisibility weights of the new KF against the last 8 keyframes
@@ -298,12 +338,20 @@ def make_chunk_step(cfg: SystemConfig):
                 m, slot, nb, tri, pt_count, scale_factors
             )
 
+        # fuse both directions (SearchInNeighbors, src/LocalMapping.cc:459-539):
+        # map points into the new keyframe's unmatched features, then into
+        # the top covisible neighbor's
         fused = fuse_into_keyframe(
-            cam, m.pt_pos, m.pt_valid, m.pt_desc, m.pt_min_dist, m.pt_max_dist,
-            m.kf_pose[slot], m.kf_kp[slot], m.kf_desc[slot],
+            cam, m.pt_pos, m.pt_valid, m.pt_desc, m.pt_min_dist,
+            m.pt_max_dist, m.kf_pose[slot], m.kf_kp[slot], m.kf_desc[slot],
             m.kf_octave[slot], m.kf_kp_valid[slot], m.kf_pt_idx[slot], scale2,
         )
         m = m._replace(kf_pt_idx=m.kf_pt_idx.at[slot].set(fused))
+        # bidirectional fusion / duplicate merge / descriptor refresh run in
+        # the chunk FINALIZE, after the windowed BA: binding and merging
+        # against un-refined mid-chunk geometry measured 2-3x worse bench
+        # ATE (5.5 cm -> 10.7-15.6 cm) because bad binds steer tracking for
+        # up to a whole chunk before any BA can reject them.
         # windowed BA + point culling run ONCE per chunk (chunk finalize) —
         # the reference's LocalMapping BA is likewise abortable/skipped under
         # keyframe load (mbAbortBA, src/LocalMapping.cc:76,586-600), so BA at
@@ -316,11 +364,15 @@ def make_chunk_step(cfg: SystemConfig):
         return m, kf_count + 1, pt_count, T, m.kf_pt_idx[slot]
 
     def no_kf_branch(args):
-        m, kf_count, pt_count, frame, ts, frame_id, T, cur_pt = args
+        m, kf_count, pt_count, frame, ts, frame_id, T, cur_pt, by_obj = args
         return m, kf_count, pt_count, T, cur_pt
 
     def step(carry: ChunkCarry, xs):
-        kp, desc, octave, angle, valid, ts = xs
+        if objects_on:
+            (kp, desc, octave, angle, valid, ts,
+             bxs, bcls, bscore, bvalid, lns, lnv) = xs
+        else:
+            kp, desc, octave, angle, valid, ts = xs
         m = carry.m
         scale2 = jnp.asarray(scale2_const)
         frame_id = carry.frame_id + 1
@@ -379,7 +431,52 @@ def make_chunk_step(cfg: SystemConfig):
         T, cur_pt, n2 = jax.lax.cond(carry.state == OK, do_track, reacquire, None)
         tracked = n2 >= tcfg.min_tracked_for_ok
 
-        # keyframe policy (Tracking::NeedNewKeyFrame, src/Tracking.cc:1777)
+        # ---- EAO object pass (device-resident; src/Tracking.cc:1246-1647)
+        table = carry.table
+        obj_key = carry.obj_key
+        appear_new = jnp.asarray(False)
+        if objects_on:
+            obj_key, k_frame = jax.random.split(obj_key)
+
+            def obj_pass(args):
+                m, table = args
+                det = compute_detection_stats(
+                    cam, m.pt_pos, m.pt_valid, m.pt_object_id,
+                    table, T, kp, cur_pt, bxs, bcls, bscore, bvalid,
+                    frame_id,
+                )
+                res = resolve_cascade(
+                    det, table, jnp.asarray(t_table_const), bxs,
+                    cfg.objects.proj_iou_threshold,
+                    use_iou=cfg.flag.use_iou,
+                    use_nonparam=cfg.flag.use_nonparam,
+                    use_ttest=cfg.flag.use_ttest,
+                    img_w=int(cam.width), img_h=int(cam.height),
+                    min_points=cfg.objects.min_points_per_object,
+                )
+                m, table = apply_frame_update(
+                    cam, m, table, det, res.assoc, res.new_slots,
+                    bxs, bcls, T, kp, cur_pt, frame_id, k_frame,
+                    psi=if_psi, depth=if_depth,
+                )
+                table = table._replace(re_obj=table.re_obj + res.re_inc)
+                if yaw_on:
+                    targets = jnp.where(res.assoc >= 0, res.assoc, res.new_slots)
+                    counts, errs, n_lines = yaw_sample_scores(
+                        cam, table, targets, bxs, T, lns, lnv,
+                    )
+                    table = update_yaw(table, targets, counts, errs, n_lines)
+                return m, table, jnp.any(res.new_slots >= 0)
+
+            m, table, appear_new = jax.lax.cond(
+                tracked & jnp.any(bvalid),
+                obj_pass,
+                lambda args: (args[0], args[1], jnp.asarray(False)),
+                (m, table),
+            )
+
+        # keyframe policy (Tracking::NeedNewKeyFrame, src/Tracking.cc:1777;
+        # path 2 — a new object landmark forces a keyframe, :1850-1897)
         frames_since = carry.frames_since_kf + 1
         peak = jnp.maximum(carry.peak_since_kf, n2)
         base = jnp.maximum(jnp.maximum(carry.ref_kf_tracked, peak), 1)
@@ -387,7 +484,7 @@ def make_chunk_step(cfg: SystemConfig):
         c2 = n2 < tcfg.kf_tracked_ratio * base.astype(jnp.float32)
         need_kf = (
             tracked
-            & (c1 | c2)
+            & (c1 | c2 | appear_new)
             & (n2 > tcfg.min_matches_ref_kf)
             & (carry.kf_count < m.kf_pose.shape[0])
         )
@@ -395,7 +492,8 @@ def make_chunk_step(cfg: SystemConfig):
         frame = (kp, desc, octave, angle, valid)
         m2, kf_count, pt_count, T_out, cur_pt_out = jax.lax.cond(
             need_kf, kf_branch, no_kf_branch,
-            (m, carry.kf_count, carry.pt_count, frame, ts, frame_id, T, cur_pt),
+            (m, carry.kf_count, carry.pt_count, frame, ts, frame_id, T, cur_pt,
+             appear_new),
         )
 
         vel_ok = tracked & ~need_kf & (carry.state == OK)
@@ -420,6 +518,8 @@ def make_chunk_step(cfg: SystemConfig):
             kf_count=kf_count.astype(jnp.int32),
             pt_count=pt_count.astype(jnp.int32),
             frame_id=frame_id,
+            table=table,
+            obj_key=obj_key,
         )
         out = (T_out, new_carry.state, n2, need_kf)
         return new_carry, out
@@ -444,17 +544,63 @@ def make_track_chunk(cfg: SystemConfig):
 
     scale2_const = np.asarray(scale_sigma2(cfg.orb.n_levels, cfg.orb.scale_factor))
 
+    objects_on = cfg.flag.objects_enabled
+    L = cfg.capacity.max_lines
+
     @jax.jit
     def track_chunk(carry: ChunkCarry, batch: FrameBatch):
         xs = (batch.kp, batch.desc, batch.octave, batch.angle,
               batch.valid, batch.timestamp)
+        if objects_on:
+            C = batch.kp.shape[0]
+            lns = batch.lines if batch.lines is not None else (
+                jnp.zeros((C, L, 4), jnp.float32))
+            lnv = batch.line_valid if batch.line_valid is not None else (
+                jnp.zeros((C, L), bool))
+            xs = xs + (batch.boxes, batch.box_class, batch.box_score,
+                       batch.box_valid, lns, lnv)
         carry, outs = jax.lax.scan(step, carry, xs)
         outs = ChunkOutputs(*outs)
 
         def finalize(m):
             scale2 = jnp.asarray(scale2_const)
             m = _window_ba(cam, m, carry.kf_count, W, Pl, scale2)
-            return _cull_points(m, carry.kf_count - 1)
+            m = _cull_points(m, carry.kf_count - 1)
+            K = m.kf_pose.shape[0]
+            newest = jnp.clip(carry.kf_count - 1, 0, K - 1)
+
+            if cfg.mapping.bidirectional_fuse:
+                # post-BA fusion into the newest keyframe's unmatched
+                # features (SearchInNeighbors, src/LocalMapping.cc:459-539)
+                fused = fuse_into_keyframe(
+                    cam, m.pt_pos, m.pt_valid, m.pt_desc, m.pt_min_dist,
+                    m.pt_max_dist, m.kf_pose[newest], m.kf_kp[newest],
+                    m.kf_desc[newest], m.kf_octave[newest],
+                    m.kf_kp_valid[newest], m.kf_pt_idx[newest], scale2,
+                )
+                m = m._replace(kf_pt_idx=m.kf_pt_idx.at[newest].set(fused))
+            if cfg.mapping.scan_merge_duplicates:
+                # Replace-style duplicate merge on refined geometry
+                new_kf_pt, new_pt_valid = merge_duplicate_points(
+                    cam, m.pt_pos, m.pt_valid, m.pt_desc, m.pt_min_dist,
+                    m.pt_max_dist, m.kf_pt_idx, m.kf_pose[newest],
+                    m.kf_kp[newest], m.kf_desc[newest], m.kf_octave[newest],
+                    m.kf_kp_valid[newest], m.kf_pt_idx[newest], scale2,
+                )
+                m = m._replace(kf_pt_idx=new_kf_pt, pt_valid=new_pt_valid)
+            if cfg.mapping.scan_refresh_descriptors:
+                # distinctive-descriptor refresh over the BA window
+                # (MapPoint::ComputeDistinctiveDescriptors after fusion)
+                first = jnp.maximum(carry.kf_count - W, 0)
+                win = jnp.clip(first + jnp.arange(W), 0, K - 1)
+                win_valid = (first + jnp.arange(W)) < carry.kf_count
+                m = m._replace(
+                    pt_desc=refresh_point_descriptors(
+                        m.kf_pt_idx, m.kf_desc, m.kf_kp_valid, m.pt_desc,
+                        win, win_valid, n_win=W,
+                    )
+                )
+            return m
 
         m = jax.lax.cond(jnp.any(outs.is_kf), finalize, lambda m: m, carry.m)
         carry = carry._replace(m=m)
@@ -481,6 +627,7 @@ class ChunkedTracker:
         self.carry: Optional[ChunkCarry] = None
         self._track_chunk = make_track_chunk(cfg)
         self.records: list = []   # (timestamp, T 3x4 np or None, state)
+        self.n_maintenance = 0    # cull+compact passes run (observability)
 
     # -- bootstrap ------------------------------------------------------
 
@@ -496,9 +643,17 @@ class ChunkedTracker:
         return False
 
     def _arm(self):
+        from eao_slam_tpu.objects.state import empty_object_table
+
         t = self.inner
         F = self.cfg.capacity.max_features
         lf = t.last_frame
+        if self.cfg.flag.objects_enabled:
+            table = t.obj_table
+            obj_key = t.obj_updater._key
+        else:
+            table = empty_object_table(1)  # dummy: keeps the carry pytree fixed
+            obj_key = jax.random.PRNGKey(0)
         self.carry = ChunkCarry(
             m=t.map,
             T_last=jnp.asarray(t.last_T, jnp.float32),
@@ -515,6 +670,8 @@ class ChunkedTracker:
             kf_count=jnp.asarray(len(t.kf_slots), jnp.int32),
             pt_count=jnp.asarray(t.n_points, jnp.int32),
             frame_id=jnp.asarray(t.frame_id, jnp.int32),
+            table=table,
+            obj_key=obj_key,
         )
 
     # -- chunked tracking ------------------------------------------------
@@ -530,7 +687,39 @@ class ChunkedTracker:
             self.records.append(
                 (float(ts[i]), host.T[i] if ok else None, int(host.state[i]))
             )
+        self._maybe_maintain()
         return host
+
+    def _maybe_maintain(self):
+        """Between-chunk map maintenance: when the monotonic slot allocators
+        near capacity, cull redundant keyframes + dead points and compact
+        both tables (runtime/compaction.py) so long sequences run at fixed
+        capacity (the reference's KeyFrameCulling/point-culling role,
+        src/LocalMapping.cc:175,637-707)."""
+        from eao_slam_tpu.runtime.compaction import cull_and_compact
+
+        c = self.carry
+        K = c.m.kf_pose.shape[0]
+        P = c.m.pt_pos.shape[0]
+        kf_headroom = max(8, self.chunk // 2)
+        pt_headroom = 3 * self.cfg.capacity.max_features
+        if (int(c.kf_count) <= K - kf_headroom
+                and int(c.pt_count) <= P - pt_headroom):
+            return
+        res = cull_and_compact(
+            c.m, c.kf_count, c.pt_count, n_levels=self.cfg.orb.n_levels,
+            redundancy=self.cfg.mapping.kf_cull_redundancy,
+        )
+        last_pt = jnp.where(
+            c.last_pt >= 0,
+            res.pt_remap[jnp.clip(c.last_pt, 0, P - 1)],
+            -1,
+        )
+        self.carry = c._replace(
+            m=res.m, kf_count=res.kf_count, pt_count=res.pt_count,
+            last_pt=last_pt,
+        )
+        self.n_maintenance += 1
 
     # -- exports ----------------------------------------------------------
 
@@ -549,8 +738,20 @@ class ChunkedTracker:
         return ts[order], Ts[order]
 
 
-def batch_from_frames(frames, timestamps) -> FrameBatch:
+def batch_from_frames(frames, timestamps, with_boxes: bool = False) -> FrameBatch:
     """Stack a list of Frame into one chunk (host-side, one staging)."""
+    kw = {}
+    if with_boxes:
+        kw = dict(
+            boxes=jnp.stack([f.boxes for f in frames]),
+            box_class=jnp.stack([f.box_class for f in frames]),
+            box_score=jnp.stack([f.box_score for f in frames]),
+            box_valid=jnp.stack([f.box_valid for f in frames]),
+            lines=jnp.stack([f.lines for f in frames])
+            if frames[0].lines is not None else None,
+            line_valid=jnp.stack([f.line_valid for f in frames])
+            if frames[0].line_valid is not None else None,
+        )
     return FrameBatch(
         kp=jnp.stack([f.kp for f in frames]),
         desc=jnp.stack([f.desc for f in frames]),
@@ -558,4 +759,5 @@ def batch_from_frames(frames, timestamps) -> FrameBatch:
         angle=jnp.stack([f.angle for f in frames]),
         valid=jnp.stack([f.valid for f in frames]),
         timestamp=jnp.asarray(np.asarray(timestamps, np.float32)),
+        **kw,
     )

@@ -1,0 +1,146 @@
+"""EAO object layer through the chunked device tracker.
+
+The flagship feature running in the production path: boxes ride the
+FrameBatch, the ensemble cascade resolves ON DEVICE (objects/resolve.py)
+inside the lax.scan chunk program, and object landmarks form with zero
+per-frame readbacks. Mirrors tests/test_objects_e2e.py but through
+ChunkedTracker instead of the interactive MonoTracker — the parity proof
+that the object work of TrackWithMotionModel (src/Tracking.cc:1246-1647)
+survives the move on-device.
+"""
+
+import numpy as np
+import pytest
+
+from eao_slam_tpu.config import CapacityConfig, DemoFlag, tum3_config
+from eao_slam_tpu.geometry.camera import TUM3
+from eao_slam_tpu.io.synthetic import (
+    make_arc_trajectory,
+    make_room_scene,
+    project_boxes,
+    simulate_observations,
+)
+from eao_slam_tpu.io.trajectory import umeyama_alignment
+from eao_slam_tpu.runtime.frame import frame_from_arrays
+from eao_slam_tpu.runtime.scan_tracker import (
+    OK,
+    ChunkedTracker,
+    batch_from_frames,
+)
+
+
+def eao_config():
+    return tum3_config(DemoFlag.EAO).replace(
+        capacity=CapacityConfig(
+            max_keyframes=64, max_points=4096, max_features=256,
+            max_boxes=8, max_objects=16, local_ba_points=1024,
+        )
+    )
+
+
+@pytest.mark.slow
+def test_objects_form_through_chunks():
+    cfg = eao_config()
+    scene = make_room_scene(seed=3, n_landmarks=1200, n_objects=3)
+    ts, gt = make_arc_trajectory(n_frames=40, sweep_deg=35.0)
+    rng = np.random.default_rng(7)
+
+    frames = []
+    for T_gt in gt:
+        obs = simulate_observations(scene, TUM3, T_gt, max_features=256,
+                                    rng=rng, pixel_noise=0.4, bit_flips=6,
+                                    dropout=0.05)
+        bxs, cls, score, bvalid = project_boxes(
+            scene, TUM3, T_gt, cfg.capacity.max_boxes
+        )
+        frames.append(frame_from_arrays(
+            cfg, kp=obs["kp"], desc=obs["desc"], octave=obs["octave"],
+            valid=obs["valid"], boxes=bxs, box_class=cls, box_score=score,
+            box_valid=bvalid,
+        ))
+
+    chunk = 8
+    tracker = ChunkedTracker(cfg, chunk=chunk)
+    i = 0
+    while i < len(frames) and tracker.carry is None:
+        tracker.bootstrap(frames[i], float(ts[i]))
+        i += 1
+    assert tracker.carry is not None, "initialization failed"
+
+    while i + chunk <= len(frames):
+        batch = batch_from_frames(frames[i:i + chunk], ts[i:i + chunk],
+                                  with_boxes=True)
+        outs = tracker.track_batch(batch)
+        i += chunk
+    assert int(outs.state[-1]) == OK
+
+    table = tracker.carry.table
+    valid = np.asarray(table.valid) & ~np.asarray(table.bad)
+    n_objects = int(valid.sum())
+    assert 2 <= n_objects <= 5, f"expected ~3 objects, got {n_objects}"
+
+    # objects observed repeatedly => association, not per-frame re-creation
+    n_obs = np.asarray(table.n_obs)[valid]
+    assert (n_obs >= 5).sum() >= 2, f"n_obs too low: {n_obs}"
+
+    # object centers near GT after sim3-aligning the keyframe trajectory
+    kf_ts, kf_T = tracker.keyframe_trajectory()
+    est_c = np.stack([-T[:3, :3].T @ T[:3, 3] for T in kf_T])
+    idx = [int(np.argmin(np.abs(ts - t))) for t in kf_ts]
+    gt_c = np.stack([-T[:3, :3].T @ T[:3, 3] for T in gt[idx]])
+    s, R, t = umeyama_alignment(est_c, gt_c, with_scale=True)
+
+    centers = np.asarray(table.center)[valid]
+    centers_w = (s * (R @ centers.T)).T + t
+    dists = np.linalg.norm(
+        scene.obj_centers[None, :, :] - centers_w[:, None, :], axis=-1
+    )
+    best = dists.min(axis=1)
+    assert (best < 0.7).mean() >= 0.5, best
+    assert best.min() < 0.25, best
+
+    cls_est = set(np.asarray(table.cls)[valid].tolist())
+    assert cls_est <= set(scene.obj_classes.tolist())
+
+
+def test_full_flag_chunk_compiles_and_runs():
+    """DemoFlag.FULL (objects + yaw-line sampling) through the chunk
+    program: the yaw path (yaw_sample_scores/update_yaw inside the scan)
+    must compile and run; without line input it accumulates no evidence."""
+    import jax.numpy as jnp
+
+    from eao_slam_tpu.config import DemoFlag
+
+    cfg = tum3_config(DemoFlag.FULL).replace(
+        capacity=CapacityConfig(
+            max_keyframes=32, max_points=2048, max_features=256,
+            max_boxes=4, max_objects=8, local_ba_points=512, max_lines=32,
+        )
+    )
+    scene = make_room_scene(seed=3, n_landmarks=900, n_objects=2)
+    ts, gt = make_arc_trajectory(n_frames=16, sweep_deg=14.0)
+    rng = np.random.default_rng(7)
+    frames = []
+    for T_gt in gt:
+        obs = simulate_observations(scene, TUM3, T_gt, max_features=256,
+                                    rng=rng, pixel_noise=0.4, bit_flips=6)
+        bxs, cls, score, bvalid = project_boxes(scene, TUM3, T_gt, 4)
+        frames.append(frame_from_arrays(
+            cfg, kp=obs["kp"], desc=obs["desc"], octave=obs["octave"],
+            valid=obs["valid"], boxes=bxs, box_class=cls, box_score=score,
+            box_valid=bvalid,
+        ))
+    tracker = ChunkedTracker(cfg, chunk=4)
+    i = 0
+    while i < len(frames) and tracker.carry is None:
+        tracker.bootstrap(frames[i], float(ts[i]))
+        i += 1
+    assert tracker.carry is not None
+    while i + 4 <= len(frames):
+        batch = batch_from_frames(frames[i:i + 4], ts[i:i + 4],
+                                  with_boxes=True)
+        outs = tracker.track_batch(batch)
+        i += 4
+    assert int(outs.state[-1]) == OK
+    # yaw histogram exists and stayed finite (no lines -> no evidence)
+    assert np.isfinite(np.asarray(tracker.carry.table.yaw_hist)).all()
