@@ -628,6 +628,15 @@ class ChunkedTracker:
         self._track_chunk = make_track_chunk(cfg)
         self.records: list = []   # (timestamp, T 3x4 np or None, state)
         self.n_maintenance = 0    # cull+compact passes run (observability)
+        # between-chunk loop closing (the reference's LoopClosing thread
+        # consumes keyframes asynchronously — here at chunk rate)
+        self.loop_closer = None
+        self._loop_rng = jax.random.PRNGKey(cfg.seed + 7)
+        self._loop_checked = 0    # keyframes already run through detection
+        if cfg.tracking.enable_loop_closing:
+            from eao_slam_tpu.runtime.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(cfg)
 
     # -- bootstrap ------------------------------------------------------
 
@@ -688,6 +697,7 @@ class ChunkedTracker:
                 (float(ts[i]), host.T[i] if ok else None, int(host.state[i]))
             )
         self._maybe_maintain()
+        self._maybe_close_loops()
         return host
 
     def _maybe_maintain(self):
@@ -720,6 +730,48 @@ class ChunkedTracker:
             last_pt=last_pt,
         )
         self.n_maintenance += 1
+        # slot compaction invalidates the loop closer's per-slot signature
+        # cache and streaks; restart detection state (cheap — signatures
+        # rebuild lazily as keyframes re-enter detection)
+        if self.loop_closer is not None:
+            from eao_slam_tpu.runtime.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(self.cfg)
+            self._loop_checked = 0
+
+    def _maybe_close_loops(self):
+        """Run loop detection (+ correction on success) for every keyframe
+        the last chunk inserted — the LoopClosing thread's per-keyframe
+        consumption (src/LoopClosing.cc:60-101) at chunk rate. On success
+        the corrected map is written back into the device carry and the
+        motion model rebases on the newest keyframe's corrected pose."""
+        if self.loop_closer is None or self.carry is None:
+            return
+        n = int(self.carry.kf_count)
+        if n <= self._loop_checked:
+            return
+        view = _LoopView(self)
+        closed = False
+        for order in range(self._loop_checked, n):
+            if self.loop_closer.on_keyframe(view, order):
+                closed = True
+        self._loop_checked = n
+        self._loop_rng = view.rng_key
+        if closed:
+            c = self.carry
+            newest = n - 1
+            T_new = jnp.asarray(np.asarray(view.map.kf_pose)[newest],
+                                jnp.float32)
+            self.carry = c._replace(
+                m=view.map._replace(
+                    kf_pt_idx=jnp.asarray(view.kf_pt_host),
+                    pt_valid=jnp.asarray(view.pt_valid_host),
+                ),
+                T_last=T_new,
+                velocity=jnp.eye(3, 4, dtype=jnp.float32),
+                vel_ok=jnp.asarray(False),
+                last_pt=jnp.asarray(view.kf_pt_host[newest], jnp.int32),
+            )
 
     # -- exports ----------------------------------------------------------
 
@@ -736,6 +788,59 @@ class ChunkedTracker:
         Ts = np.asarray(m.kf_pose)[kf_valid]
         order = np.argsort(ts)
         return ts[order], Ts[order]
+
+
+class _LoopView:
+    """MonoTracker-shaped adapter over a ChunkCarry so the host LoopCloser
+    (runtime/loop_closing.py) can run between chunks unchanged. The chunked
+    path's monotonic allocator means slot == insertion order, so kf_slots
+    is simply range(kf_count). Mutations (map, observation rows, point
+    validity, rng key) accumulate on the view; _maybe_close_loops folds
+    them back into the device carry on success."""
+
+    def __init__(self, chunked: "ChunkedTracker"):
+        from eao_slam_tpu.ops.orb import scale_sigma2
+
+        carry = chunked.carry
+        self.cfg = chunked.cfg
+        self.cam = chunked.cfg.camera
+        self.map = carry.m
+        self.scale2_np = np.asarray(
+            scale_sigma2(chunked.cfg.orb.n_levels, chunked.cfg.orb.scale_factor)
+        )
+        self.rng_key = chunked._loop_rng
+        self.kf_slots = list(range(int(carry.kf_count)))
+        self.kf_valid_host = np.asarray(carry.m.kf_valid)
+        self.kf_pt_host = np.array(np.asarray(carry.m.kf_pt_idx))
+        self.pt_valid_host = np.array(np.asarray(carry.m.pt_valid))
+        self.kfdb = None
+        self.vocab = None
+        self.last_T = None
+        self.velocity = None
+        self.last_pt = None
+
+    def covis_matrix(self) -> np.ndarray:
+        from eao_slam_tpu.runtime.compaction import make_covis
+
+        fn = make_covis(int(self.map.pt_pos.shape[0]))
+        return np.asarray(fn(
+            self.map.kf_pt_idx, self.map.kf_kp_valid, self.map.kf_valid
+        )).astype(np.int64)
+
+    def _apply_ba(self, ba):
+        m = self.map
+        ws = jnp.asarray(ba.kf_slots)
+        m = m._replace(kf_pose=m.kf_pose.at[ws].set(jnp.asarray(ba.poses)))
+        keep = ba.pt_slots >= 0
+        ps = jnp.asarray(ba.pt_slots[keep])
+        m = m._replace(pt_pos=m.pt_pos.at[ps].set(jnp.asarray(ba.points[keep])))
+        drop = ba.drop_obs
+        if drop.any():
+            new_pt = self.kf_pt_host[ba.kf_slots]
+            new_pt[drop] = -1
+            self.kf_pt_host[ba.kf_slots] = new_pt
+            m = m._replace(kf_pt_idx=m.kf_pt_idx.at[ws].set(jnp.asarray(new_pt)))
+        self.map = m
 
 
 def batch_from_frames(frames, timestamps, with_boxes: bool = False) -> FrameBatch:

@@ -1,0 +1,87 @@
+"""Loop closing on the PRODUCTION (chunked) path: the same fabricated
+drifted-loop map as tests/test_loop_closing.py, held in a ChunkCarry and
+corrected through ChunkedTracker's between-chunk loop pass (_LoopView
+adapter + LoopCloser). Mirrors the LoopClosing thread consuming keyframes
+(src/LoopClosing.cc:60-101) at chunk rate."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eao_slam_tpu.runtime.loop_closing import kf_signature
+from eao_slam_tpu.runtime.scan_tracker import ChunkCarry, ChunkedTracker
+from tests.test_loop_closing import (
+    build_drifted_loop_tracker,
+    kf_ate,
+    small_cfg,
+)
+
+
+def _carry_from_tracker(tracker, cfg):
+    from eao_slam_tpu.objects.state import empty_object_table
+
+    F = cfg.capacity.max_features
+    n = len(tracker.kf_slots)
+    return ChunkCarry(
+        m=tracker.map,
+        T_last=jnp.asarray(tracker.last_T, jnp.float32),
+        velocity=jnp.eye(3, 4, dtype=jnp.float32),
+        vel_ok=jnp.asarray(False),
+        last_kp=jnp.zeros((F, 2), jnp.float32),
+        last_desc=jnp.zeros((F, 8), jnp.uint32),
+        last_octave=jnp.zeros((F,), jnp.int32),
+        last_angle=jnp.zeros((F,), jnp.float32),
+        last_valid=jnp.zeros((F,), bool),
+        last_pt=jnp.asarray(tracker.last_pt, jnp.int32),
+        state=jnp.asarray(2, jnp.int32),
+        frames_since_kf=jnp.asarray(0, jnp.int32),
+        ref_kf_tracked=jnp.asarray(50, jnp.int32),
+        peak_since_kf=jnp.asarray(50, jnp.int32),
+        kf_count=jnp.asarray(n, jnp.int32),
+        pt_count=jnp.asarray(int(tracker.pt_valid_host.sum()), jnp.int32),
+        frame_id=jnp.asarray(n, jnp.int32),
+        table=empty_object_table(1),
+        obj_key=jax.random.PRNGKey(0),
+    )
+
+
+def test_chunked_loop_pass_corrects_drift(rng):
+    host, T_true, T_est = build_drifted_loop_tracker(rng)
+    cfg = small_cfg()
+    n = len(T_true)
+
+    chunked = ChunkedTracker(cfg, chunk=4)
+    chunked.carry = _carry_from_tracker(host, cfg)
+    assert chunked.loop_closer is not None
+
+    # end-pose error before
+    est0 = np.asarray(chunked.carry.m.kf_pose)[:n]
+    end_before = np.linalg.norm(
+        -est0[n - 1][:3, :3].T @ est0[n - 1][:3, 3]
+        - (-T_true[n - 1][:3, :3].T @ T_true[n - 1][:3, 3])
+    )
+    assert end_before > 0.05
+
+    # the between-chunk pass walks every keyframe; this fabricated map has
+    # only ONE revisiting keyframe, so prime the consistency streak as two
+    # prior sightings (like the host detection test) and re-run the pass
+    # for the final keyframe
+    chunked._maybe_close_loops()          # builds signatures, no closure yet
+    chunked.loop_closer.consistent_streak = {(0, 1): 2}
+    chunked._loop_checked = n - 1
+    chunked._maybe_close_loops()
+    assert chunked.loop_closer.closed_loops >= 1, "no loop closed"
+
+    est1 = np.asarray(chunked.carry.m.kf_pose)[:n]
+    end_after = np.linalg.norm(
+        -est1[n - 1][:3, :3].T @ est1[n - 1][:3, 3]
+        - (-T_true[n - 1][:3, :3].T @ T_true[n - 1][:3, 3])
+    )
+    assert end_after < 0.2 * end_before, (end_before, end_after)
+
+    # duplicated loop landmarks fused away in the carry
+    assert int(np.asarray(chunked.carry.m.pt_valid).sum()) < 12 * 25 + 25
+    # motion model rebased on the corrected newest keyframe
+    np.testing.assert_allclose(
+        np.asarray(chunked.carry.T_last), est1[n - 1], atol=1e-6
+    )
