@@ -75,10 +75,16 @@ def resolve_cascade(
     sanity = (det.sanity_iou >= 0.5) | (det.sanity_former >= 0.8)  # [B, J]
 
     def body(b, carry):
-        taken, assoc, new_mask, re_inc = carry
+        # TPU shape note: the per-detection mReObj votes accumulate into a
+        # [B, J] ROW buffer (dynamic-update-slice per iteration) and are
+        # scattered into the [J, J] matrix ONCE after the loop — the
+        # previous 3 scatter-adds per detection serialized the whole
+        # cascade (~2.6 ms/frame at B=8 on v5e).
+        taken, assoc, new_mask, re_rows = carry
         # invalid detections contribute no stages, no votes, no objects
         cand = tab_valid & det.class_ok[b] & ~taken & det.det_valid[b]
         got = jnp.int32(-1)
+        row = jnp.zeros((J,), jnp.int32)
 
         # ---- stage 1: IoU vs predicted box
         if use_iou:
@@ -93,9 +99,7 @@ def resolve_cascade(
             j2 = _highest_true(np_c & sanity[b]).astype(jnp.int32)
             got2 = jnp.where(got < 0, j2, got)
             add2 = (got2 >= 0) & np_c & (jidx != got2)
-            re_inc = re_inc.at[jnp.clip(got2, 0, J - 1)].add(
-                jnp.where(got2 >= 0, add2.astype(jnp.int32), 0)
-            )
+            row = row + add2.astype(jnp.int32)
             got = got2
 
         # ---- stages 3+4: projected IoU, then t-test
@@ -106,9 +110,7 @@ def resolve_cascade(
             j3 = jnp.argmax(s3).astype(jnp.int32)
             got3 = jnp.where((got < 0) & (s3[j3] > 0), j3, got)
             add3 = (got3 >= 0) & pj & (jidx != got3)
-            re_inc = re_inc.at[jnp.clip(got3, 0, J - 1)].add(
-                jnp.where(got3 >= 0, add3.astype(jnp.int32), 0)
-            )
+            row = row + add3.astype(jnp.int32)
             got = got3
 
             tv = det.t_vals[b]                               # [J, 3]
@@ -122,14 +124,15 @@ def resolve_cascade(
             j4 = _highest_true(t_c & sanity[b]).astype(jnp.int32)
             got4 = jnp.where(got < 0, j4, got)
             add4 = (got4 >= 0) & (t_c | lower) & (jidx != got4)
-            re_inc = re_inc.at[jnp.clip(got4, 0, J - 1)].add(
-                jnp.where(got4 >= 0, add4.astype(jnp.int32), 0)
-            )
+            row = row + add4.astype(jnp.int32)
             got = got4
 
         got = jnp.where(det.det_valid[b], got, -1)
         taken = taken.at[jnp.clip(got, 0, J - 1)].max(got >= 0)
         assoc = assoc.at[b].set(got)
+        # stage re-votes never target the winner itself, and rows of
+        # unassociated detections are dropped by the final scatter
+        re_rows = jax.lax.dynamic_update_index_in_dim(re_rows, row, b, 0)
 
         # new object unless the box hugs the image border
         x, y, w, h = bxs[b, 0], bxs[b, 1], bxs[b, 2], bxs[b, 3]
@@ -139,15 +142,18 @@ def resolve_cascade(
             & (det.det_npts[b] >= min_points)
         )
         new_mask = new_mask.at[b].set(is_new)
-        return taken, assoc, new_mask, re_inc
+        return taken, assoc, new_mask, re_rows
 
     taken0 = jnp.zeros((J,), bool)
     assoc0 = jnp.full((B,), -1, jnp.int32)
     new0 = jnp.zeros((B,), bool)
-    re0 = jnp.zeros((J, J), jnp.int32)
-    taken, assoc, new_mask, re_inc = jax.lax.fori_loop(
-        0, B, body, (taken0, assoc0, new0, re0)
+    rr0 = jnp.zeros((B, J), jnp.int32)
+    taken, assoc, new_mask, re_rows = jax.lax.fori_loop(
+        0, B, body, (taken0, assoc0, new0, rr0)
     )
+    re_inc = jnp.zeros((J, J), jnp.int32).at[
+        jnp.where(assoc >= 0, assoc, J)
+    ].add(re_rows, mode="drop")
 
     # ---- free-slot allocation for new objects (ascending free slots,
     # matching ObjectUpdater._allocate_slots)

@@ -115,3 +115,80 @@ def test_config_flags():
     assert tum3_config("NP").flag.use_nonparam and not tum3_config("NP").flag.use_iou
     # configs must be hashable (jit-static)
     hash(cfg)
+
+
+class TestGroundtruthProtocol:
+    """Per-frame GT-pose table protocol (src/Tracking.cc:197-241,506-555):
+    the whole groundtruth.txt loads once, each frame looks up its pose by
+    nearest timestamp, and System.set_groundtruth feeds the initializer
+    frame's pose to the ground-alignment step."""
+
+    def _write_gt(self, path, n=20):
+        # TUM format: t tx ty tz qx qy qz qw
+        rows = []
+        for i in range(n):
+            t = 100.0 + 0.1 * i
+            rows.append(f"{t:.4f} {0.01*i:.4f} 0.0 {0.02*i:.4f} 0 0 0 1\n")
+        with open(path, "w") as f:
+            f.write("# ground truth\n")
+            f.writelines(rows)
+
+    def test_per_frame_lookup(self, tmp_path):
+        from eao_slam_tpu.io.tum import load_groundtruth, lookup_pose_matrix
+
+        p = str(tmp_path / "groundtruth.txt")
+        self._write_gt(p)
+        gt = load_groundtruth(p)
+        assert len(gt.timestamps) == 20
+        # exact hit
+        T = lookup_pose_matrix(gt, 100.5)
+        assert T is not None and abs(T[0, 3] - 0.05) < 1e-6
+        # nearest within tolerance
+        T = lookup_pose_matrix(gt, 100.52, tol=0.05)
+        assert T is not None and abs(T[0, 3] - 0.05) < 1e-6
+        # outside tolerance -> None (frames without GT track without it)
+        assert lookup_pose_matrix(gt, 50.0, tol=0.05) is None
+
+    def test_system_consumes_gt_for_alignment(self, tmp_path):
+        """System.set_groundtruth + track_frame: only the initializer
+        frame's pose is consumed (ground alignment); a missing per-frame
+        entry must not break tracking."""
+        import numpy as np
+
+        from eao_slam_tpu.config import CapacityConfig, tum3_config
+        from eao_slam_tpu.geometry.camera import TUM3
+        from eao_slam_tpu.io.synthetic import (
+            make_arc_trajectory, make_room_scene, simulate_observations,
+        )
+        from eao_slam_tpu.io.trajectory import save_tum
+        from eao_slam_tpu.runtime.frame import frame_from_arrays
+        from eao_slam_tpu.system import System
+
+        cfg = tum3_config().replace(capacity=CapacityConfig(
+            max_keyframes=32, max_points=2048, max_features=256,
+            local_ba_points=512))
+        scene = make_room_scene(seed=5, n_landmarks=1000, n_objects=2)
+        ts, gt_poses = make_arc_trajectory(n_frames=14, sweep_deg=10.0)
+        # write T_wc ground truth rows for only the first half of frames
+        Twc = []
+        for T in gt_poses:
+            R = T[:3, :3].T
+            t = -R @ T[:3, 3]
+            Twc.append(np.concatenate([R, t[:, None]], 1))
+        p = str(tmp_path / "groundtruth.txt")
+        save_tum(p, ts[:7], np.stack([np.linalg.inv(
+            np.vstack([T, [0, 0, 0, 1]]))[:3] for T in Twc[:7]]))
+
+        sys_ = System(cfg)
+        sys_.set_groundtruth(p)
+        rng = np.random.default_rng(7)
+        n_ok = 0
+        for i in range(14):
+            obs = simulate_observations(scene, TUM3, gt_poses[i],
+                                        max_features=256, rng=rng)
+            obs.pop("lm_idx", None)
+            f = frame_from_arrays(cfg, **obs)
+            if sys_.track_frame(f, float(ts[i])) is not None:
+                n_ok += 1
+        assert sys_.tracker.state == 2
+        assert n_ok >= 8
