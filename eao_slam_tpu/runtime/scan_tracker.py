@@ -698,6 +698,7 @@ class ChunkedTracker:
             )
         self._maybe_maintain()
         self._maybe_close_loops()
+        self._maybe_relocalize()
         return host
 
     def _maybe_maintain(self):
@@ -738,6 +739,66 @@ class ChunkedTracker:
 
             self.loop_closer = LoopCloser(self.cfg)
             self._loop_checked = 0
+
+    def _maybe_relocalize(self):
+        """Full relocalization between chunks (Tracking::Relocalization,
+        src/Tracking.cc:2184): the in-scan LOST handler only retries a
+        brute match against the reference keyframe from the last pose —
+        fine for brief occlusions, useless when kidnapped. If a chunk ends
+        LOST, score the last frame's descriptors against every keyframe's
+        signature, brute-match the best candidates and recover the pose
+        with EPnP RANSAC; on success the carry re-arms in OK state."""
+        c = self.carry
+        if c is None or int(c.state) != LOST:
+            return
+        from eao_slam_tpu.ops import matching as mops
+        from eao_slam_tpu.runtime.loop_closing import kf_signature
+        from eao_slam_tpu.solvers.pnp import pnp_ransac
+        from eao_slam_tpu.ops.orb import scale_sigma2
+
+        m = c.m
+        n = int(c.kf_count)
+        if n == 0:
+            return
+        P = m.pt_pos.shape[0]
+        scale2 = scale_sigma2(self.cfg.orb.n_levels, self.cfg.orb.scale_factor)
+
+        sig_q = kf_signature(c.last_desc, c.last_valid)
+        sigs = jax.vmap(kf_signature)(m.kf_desc[:n], m.kf_kp_valid[:n])
+        scores = np.array(np.asarray(sigs @ sig_q))
+        scores[~np.asarray(m.kf_valid)[:n]] = -1.0
+        for slot in np.argsort(-scores)[:5]:
+            slot = int(slot)
+            if scores[slot] <= 0:
+                break
+            pt_kf = m.kf_pt_idx[slot]
+            q_valid = m.kf_kp_valid[slot] & (pt_kf >= 0)
+            idx, d, ok = mops.search_brute(
+                m.kf_desc[slot], q_valid, c.last_desc, c.last_valid,
+                max_dist=mops.TH_LOW, ratio=0.75,
+            )
+            if int(jnp.sum(ok)) < 15:
+                continue
+            Xw = m.pt_pos[jnp.clip(pt_kf, 0, P - 1)]
+            uv = c.last_kp[idx]
+            inv_s2 = 1.0 / scale2[jnp.clip(c.last_octave[idx], 0, 7)]
+            self._loop_rng, sub = jax.random.split(self._loop_rng)
+            pnp = pnp_ransac(self.cfg.camera, Xw, uv, ok, inv_s2, sub)
+            if not bool(pnp.success):
+                continue
+            keep = ok & pnp.inliers
+            F = c.last_kp.shape[0]
+            last_pt = jnp.full((F,), -1, jnp.int32).at[idx].max(
+                jnp.where(keep, pt_kf, -1)
+            )
+            self.carry = c._replace(
+                T_last=jnp.asarray(pnp.T, jnp.float32),
+                velocity=jnp.eye(3, 4, dtype=jnp.float32),
+                vel_ok=jnp.asarray(False),
+                last_pt=last_pt,
+                state=jnp.asarray(OK, jnp.int32),
+            )
+            return
 
     def _maybe_close_loops(self):
         """Run loop detection (+ correction on success) for every keyframe

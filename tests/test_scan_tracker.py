@@ -93,3 +93,70 @@ def test_chunked_tracker_matches_gt(sequence):
 
     kf_ts, kf_T = tracker.keyframe_trajectory()
     assert len(kf_ts) >= 3
+
+
+def test_between_chunk_relocalization(sequence):
+    """A chunk ending LOST with a stale pose recovers through the
+    between-chunk signature+EPnP relocalization (Tracking::Relocalization
+    at chunk rate) — the in-scan reacquire only retries the reference
+    keyframe from the last pose."""
+    import jax.numpy as jnp
+
+    from eao_slam_tpu.runtime.scan_tracker import LOST
+
+    ts, gt, frames = sequence
+    cfg = small_config()
+    chunk = 5
+    tracker = ChunkedTracker(cfg, chunk=chunk)
+    i = 0
+    while i < len(frames) and tracker.carry is None:
+        obs = frames[i]
+        f = frame_from_arrays(cfg, kp=obs["kp"], desc=obs["desc"],
+                              octave=obs["octave"], valid=obs["valid"])
+        tracker.bootstrap(f, float(ts[i]))
+        i += 1
+    # two chunks of normal tracking to build a map
+    for _ in range(2):
+        fs = [frame_from_arrays(cfg, kp=frames[j]["kp"], desc=frames[j]["desc"],
+                                octave=frames[j]["octave"], valid=frames[j]["valid"])
+              for j in range(i, i + chunk)]
+        tracker.track_batch(batch_from_frames(fs, ts[i:i + chunk]))
+        i += chunk
+
+    # kidnap: put the tracker in LOST with a garbage last pose but REAL
+    # last-frame features (frame i), then run the between-chunk pass
+    obs = frames[i]
+    fr = frame_from_arrays(cfg, kp=obs["kp"], desc=obs["desc"],
+                           octave=obs["octave"], valid=obs["valid"])
+    T_garbage = np.eye(3, 4, dtype=np.float32)
+    T_garbage[:, 3] = [5.0, 5.0, 5.0]
+    c = tracker.carry
+    tracker.carry = c._replace(
+        state=jnp.asarray(LOST, jnp.int32),
+        T_last=jnp.asarray(T_garbage),
+        last_kp=fr.kp, last_desc=fr.desc,
+        last_octave=fr.octave,
+        last_valid=fr.valid,
+        last_pt=jnp.full((cfg.capacity.max_features,), -1, jnp.int32),
+    )
+    tracker._maybe_relocalize()
+    assert int(tracker.carry.state) == 2, "relocalization failed"
+    # recovered pose is near this frame's ground truth AFTER sim3-aligning
+    # the (scale-normalized) map to GT via the keyframe trajectory
+    from eao_slam_tpu.io.trajectory import umeyama_alignment
+
+    kf_ts, kf_T = tracker.keyframe_trajectory()
+    est_c = np.stack([-T[:3, :3].T @ T[:3, 3] for T in kf_T])
+    idx = [int(np.argmin(np.abs(ts - t))) for t in kf_ts]
+    gt_c = np.stack([-T[:3, :3].T @ T[:3, 3] for T in gt[idx]])
+    s, R, t = umeyama_alignment(est_c, gt_c, with_scale=True)
+    T_rec = np.asarray(tracker.carry.T_last)
+    c_rec = s * (R @ (-T_rec[:3, :3].T @ T_rec[:3, 3])) + t
+    c_gt = -gt[i][:3, :3].T @ gt[i][:3, 3]
+    assert np.linalg.norm(c_rec - c_gt) < 0.05, (c_rec, c_gt)
+    # and the next chunk tracks normally from the recovered pose
+    fs = [frame_from_arrays(cfg, kp=frames[j]["kp"], desc=frames[j]["desc"],
+                            octave=frames[j]["octave"], valid=frames[j]["valid"])
+          for j in range(i, i + chunk)]
+    outs = tracker.track_batch(batch_from_frames(fs, ts[i:i + chunk]))
+    assert int(np.asarray(outs.state)[-1]) == 2
