@@ -17,6 +17,7 @@ GetBestCovisibilityKeyFrames, src/KeyFrame.cc).
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import NamedTuple
 
@@ -26,8 +27,11 @@ import jax.numpy as jnp
 from eao_slam_tpu.runtime.map_state import MapState
 
 
+@functools.lru_cache(maxsize=8)
 def make_covis(P: int):
-    """Build a jitted covis fn closed over the (static) point capacity."""
+    """Build a jitted covis fn closed over the (static) point capacity.
+    Cached per capacity — a fresh closure per call would recompile the
+    incidence matmul every invocation."""
 
     @jax.jit
     def covis(kf_pt_idx, kf_kp_valid, kf_valid):

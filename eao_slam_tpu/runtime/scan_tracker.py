@@ -26,8 +26,6 @@ src/Tracking.cc:2184) and loop closing stay host-side between chunks.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
