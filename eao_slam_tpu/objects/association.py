@@ -428,7 +428,48 @@ def compute_detection_stats(
 N_IFOREST_SAMPLE = 512  # member cap for the per-frame iForest pass
 
 
-@partial(jax.jit, static_argnames=("cam", "psi", "depth"))
+def member_stats(cam, pt_pos, pt_valid, pt_object_id, table, T_cw, h):
+    """Member-derived object statistics, recomputed from the point tables:
+    centroid/std (ComputeMeanAndStandard, src/Object.cc:967), object-frame
+    AABB + r_max, and the projected rect for the next frame
+    (ComputeProjectRectFrame). Shared by the per-frame update and the
+    chunk-rate iForest cull. h: [P] deterministic subsample hash."""
+    J = table.capacity
+    member = (pt_object_id[None, :] == jnp.arange(J)[:, None]) & pt_valid[None, :]
+    mw = member.astype(jnp.float32)
+    n_mem = jnp.sum(mw, axis=1)
+    has_mem = n_mem > 0
+    center = (mw @ pt_pos) / jnp.maximum(n_mem, 1.0)[:, None]
+    center = jnp.where(has_mem[:, None], center, table.center)  # keep stale
+    var = (mw @ (pt_pos**2)) / jnp.maximum(n_mem, 1.0)[:, None] - center**2
+    std = jnp.sqrt(jnp.maximum(var, 1e-12))
+
+    # object-frame AABB + r_max
+    RyJ = yaw_rotation(table.yaw)                               # [J, 3, 3]
+    rel = pt_pos[None, :, :] - center[:, None, :]               # [J, P, 3]
+    x_objJ = jnp.einsum("jba,jpb->jpa", RyJ, rel)
+    big = 1e9
+    cub_min = jnp.min(jnp.where(member[..., None], x_objJ, big), axis=1)
+    cub_max = jnp.max(jnp.where(member[..., None], x_objJ, -big), axis=1)
+    cub_min = jnp.where(has_mem[:, None], cub_min, 0.0)
+    cub_max = jnp.where(has_mem[:, None], cub_max, 0.0)
+    r_max = jnp.linalg.norm(
+        jnp.maximum(jnp.abs(cub_min), jnp.abs(cub_max)), axis=-1
+    )
+
+    # projected rect for the next frame (ComputeProjectRectFrame)
+    mem_sel = jnp.where(member, 1.0 + h[None, :], 0.0)
+    tv2, sub2 = jax.lax.top_k(mem_sel, N_OBJ_SAMPLE)
+    sub2_mask = tv2 > 0.0
+    xc2 = se3.apply(T_cw[None, None], pt_pos[sub2])
+    uv2 = project(cam, xc2)
+    proj_rect = boxops.bbox_of_points(
+        uv2, sub2_mask & (xc2[..., 2] > 0.05), float(cam.width), float(cam.height)
+    )
+    return center, std, cub_min, cub_max, r_max, proj_rect, has_mem
+
+
+@partial(jax.jit, static_argnames=("cam", "psi", "depth", "run_iforest"))
 def apply_frame_update(
     cam: Camera,
     m: MapState,
@@ -442,6 +483,7 @@ def apply_frame_update(
     key,
     psi: int = 96,
     depth: int = 7,
+    run_iforest: bool = True,
 ):
     """Batched DataAssociateUpdate + InitObjMap + iForest + stats refresh
     (src/Object.cc:1313-1554, 1202-1309, 967-1198; src/Tracking.cc:2531).
@@ -530,29 +572,35 @@ def apply_frame_update(
     pt_obj_votes = jnp.where(evict, 0, pt_obj_votes)
 
     # ---- 3. iForest on updated objects (src/Object.cc:1202-1309) ---------
+    # The chunked device tracker passes run_iforest=False and instead runs
+    # chunk_iforest_cull once per chunk OUTSIDE the lax.scan body: these
+    # tiny-shape tree kernels cost ~0.05 ms standalone but ~4.3 ms inside a
+    # TPU while-loop body (no cross-op fusion at [50, 512] shapes), which
+    # was 55% of the whole per-frame budget.
     h = ((jnp.arange(P, dtype=jnp.uint32) * jnp.uint32(2654435761)) % 1009).astype(jnp.float32) / 1009.0
-    upd_member = (pt_object_id[None, :] == tj[:, None]) & (m.pt_valid[None, :]) \
-        & active[:, None]                                       # [B, P]
-    sel = jnp.where(upd_member, 1.0 + h[None, :], 0.0)
-    top_v, mem_idx = jax.lax.top_k(sel, N_IFOREST_SAMPLE)       # [B, S]
-    mem_mask = top_v > 0.0
-    mem_pos = m.pt_pos[mem_idx]                                 # [B, S, 3]
-    n_members = jnp.sum(upd_member, axis=1)
+    if run_iforest:
+        upd_member = (pt_object_id[None, :] == tj[:, None]) & (m.pt_valid[None, :]) \
+            & active[:, None]                                       # [B, P]
+        sel = jnp.where(upd_member, 1.0 + h[None, :], 0.0)
+        top_v, mem_idx = jax.lax.top_k(sel, N_IFOREST_SAMPLE)       # [B, S]
+        mem_mask = top_v > 0.0
+        mem_pos = m.pt_pos[mem_idx]                                 # [B, S, 3]
+        n_members = jnp.sum(upd_member, axis=1)
 
-    keys = jax.random.split(key, B)
-    scores = jax.vmap(
-        lambda k, p, msk: anomaly_scores(k, p, msk, 50, psi, depth)
-    )(keys, mem_pos, mem_mask)                                  # [B, S]
+        keys = jax.random.split(key, B)
+        scores = jax.vmap(
+            lambda k, p, msk: anomaly_scores(k, p, msk, 50, psi, depth)
+        )(keys, mem_pos, mem_mask)                                  # [B, S]
 
-    th_if = jnp.where(cls == IFOREST_TV_CLASS, 0.65, 0.6)[:, None]
-    skip_cls = jnp.zeros((B,), bool)
-    for c in IFOREST_SKIP_CLASSES:
-        skip_cls |= cls == c
-    run_forest = active & ~skip_cls & (n_members >= 30)
-    outlier = mem_mask & (scores > th_if) & run_forest[:, None]
-    flat_idx = jnp.where(outlier, mem_idx, P).reshape(-1)
-    pt_object_id = pt_object_id.at[flat_idx].set(-1, mode="drop")
-    pt_obj_votes = pt_obj_votes.at[flat_idx].set(0, mode="drop")
+        th_if = jnp.where(cls == IFOREST_TV_CLASS, 0.65, 0.6)[:, None]
+        skip_cls = jnp.zeros((B,), bool)
+        for c in IFOREST_SKIP_CLASSES:
+            skip_cls |= cls == c
+        run_forest = active & ~skip_cls & (n_members >= 30)
+        outlier = mem_mask & (scores > th_if) & run_forest[:, None]
+        flat_idx = jnp.where(outlier, mem_idx, P).reshape(-1)
+        pt_object_id = pt_object_id.at[flat_idx].set(-1, mode="drop")
+        pt_obj_votes = pt_obj_votes.at[flat_idx].set(0, mode="drop")
 
     # ---- 4. table bookkeeping + stats refresh ----------------------------
     valid = table.valid.at[tj].max(active)
@@ -586,36 +634,8 @@ def apply_frame_update(
     center_std = jnp.sqrt(jnp.maximum(cent_sumsq / n_f - mean_c**2, 1e-12))
 
     # full membership stats (ComputeMeanAndStandard, src/Object.cc:967)
-    member = (pt_object_id[None, :] == jnp.arange(J)[:, None]) & m.pt_valid[None, :]
-    mw = member.astype(jnp.float32)
-    n_mem = jnp.sum(mw, axis=1)
-    has_mem = n_mem > 0
-    center = (mw @ m.pt_pos) / jnp.maximum(n_mem, 1.0)[:, None]
-    center = jnp.where(has_mem[:, None], center, table.center)  # keep stale
-    var = (mw @ (m.pt_pos**2)) / jnp.maximum(n_mem, 1.0)[:, None] - center**2
-    std = jnp.sqrt(jnp.maximum(var, 1e-12))
-
-    # object-frame AABB + r_max
-    RyJ = yaw_rotation(table.yaw)                               # [J, 3, 3]
-    rel = m.pt_pos[None, :, :] - center[:, None, :]             # [J, P, 3]
-    x_objJ = jnp.einsum("jba,jpb->jpa", RyJ, rel)
-    big = 1e9
-    cub_min = jnp.min(jnp.where(member[..., None], x_objJ, big), axis=1)
-    cub_max = jnp.max(jnp.where(member[..., None], x_objJ, -big), axis=1)
-    cub_min = jnp.where(has_mem[:, None], cub_min, 0.0)
-    cub_max = jnp.where(has_mem[:, None], cub_max, 0.0)
-    r_max = jnp.linalg.norm(
-        jnp.maximum(jnp.abs(cub_min), jnp.abs(cub_max)), axis=-1
-    )
-
-    # projected rect for the next frame (ComputeProjectRectFrame)
-    mem_sel = jnp.where(member, 1.0 + h[None, :], 0.0)
-    tv2, sub2 = jax.lax.top_k(mem_sel, N_OBJ_SAMPLE)
-    sub2_mask = tv2 > 0.0
-    xc2 = se3.apply(T_cw[None, None], m.pt_pos[sub2])
-    uv2 = project(cam, xc2)
-    proj_rect = boxops.bbox_of_points(
-        uv2, sub2_mask & (xc2[..., 2] > 0.05), float(cam.width), float(cam.height)
+    center, std, cub_min, cub_max, r_max, proj_rect, has_mem = member_stats(
+        cam, m.pt_pos, m.pt_valid, pt_object_id, table, T_cw, h
     )
 
     # co-occurrence (src/Tracking.cc:1619-1647)
@@ -651,4 +671,68 @@ def apply_frame_update(
         co_occur=co_occur,
     )
     m = m._replace(pt_object_id=pt_object_id, pt_obj_votes=pt_obj_votes)
+    return m, table
+
+
+@partial(jax.jit, static_argnames=("cam", "psi", "depth"))
+def chunk_iforest_cull(
+    cam: Camera,
+    m: MapState,
+    table: ObjectTable,
+    T_cw,             # [3, 4] chunk-final camera pose (for proj_rect refresh)
+    since_frame,      # objects with last_frame >= since_frame are culled
+    key,
+    psi: int = 96,
+    depth: int = 7,
+):
+    """Chunk-rate isolation-forest outlier cull over every object updated
+    this chunk (IsolationForestDeleteOutliers, src/Object.cc:1202-1309).
+
+    The reference culls after each frame's DataAssociateUpdate; the chunked
+    device tracker batches the cull to once per chunk because the tree
+    kernels are ~80x slower inside the scan body than outside it (tiny
+    [50, 512] shapes defeat fusion in a TPU while-loop). One cull per chunk
+    over all J objects does the same eviction work at 1/B of the per-frame
+    cost — the only semantic drift is that an outlier can survive up to
+    chunk_len-1 extra frames before eviction, during which it only biases
+    the running stats the next refresh recomputes anyway."""
+    P = m.pt_pos.shape[0]
+    J = table.capacity
+
+    h = ((jnp.arange(P, dtype=jnp.uint32) * jnp.uint32(2654435761)) % 1009).astype(jnp.float32) / 1009.0
+    member = (m.pt_object_id[None, :] == jnp.arange(J)[:, None]) & m.pt_valid[None, :]
+    sel = jnp.where(member, 1.0 + h[None, :], 0.0)
+    top_v, mem_idx = jax.lax.top_k(sel, N_IFOREST_SAMPLE)       # [J, S]
+    mem_mask = top_v > 0.0
+    mem_pos = m.pt_pos[mem_idx]                                 # [J, S, 3]
+    n_members = jnp.sum(member, axis=1)
+
+    keys = jax.random.split(key, J)
+    scores = jax.vmap(
+        lambda k, p, msk: anomaly_scores(k, p, msk, 50, psi, depth)
+    )(keys, mem_pos, mem_mask)                                  # [J, S]
+
+    th_if = jnp.where(table.cls == IFOREST_TV_CLASS, 0.65, 0.6)[:, None]
+    skip_cls = jnp.zeros((J,), bool)
+    for c in IFOREST_SKIP_CLASSES:
+        skip_cls |= table.cls == c
+    run_forest = (
+        table.valid & ~table.bad & ~skip_cls
+        & (table.last_frame >= since_frame) & (n_members >= 30)
+    )
+    outlier = mem_mask & (scores > th_if) & run_forest[:, None]
+    flat_idx = jnp.where(outlier, mem_idx, P).reshape(-1)
+    pt_object_id = m.pt_object_id.at[flat_idx].set(-1, mode="drop")
+    pt_obj_votes = m.pt_obj_votes.at[flat_idx].set(0, mode="drop")
+    m = m._replace(pt_object_id=pt_object_id, pt_obj_votes=pt_obj_votes)
+
+    # refresh member-derived stats on the post-cull membership
+    center, std, cub_min, cub_max, r_max, proj_rect, has_mem = member_stats(
+        cam, m.pt_pos, m.pt_valid, pt_object_id, table, T_cw, h
+    )
+    bad = table.bad | (table.valid & ~has_mem)
+    table = table._replace(
+        center=center, std=std, cub_min=cub_min, cub_max=cub_max,
+        r_max=r_max, proj_rect=proj_rect, bad=bad,
+    )
     return m, table

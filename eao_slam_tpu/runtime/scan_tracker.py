@@ -452,10 +452,13 @@ def make_chunk_step(cfg: SystemConfig):
                     img_w=int(cam.width), img_h=int(cam.height),
                     min_points=cfg.objects.min_points_per_object,
                 )
+                # run_iforest=False: the outlier cull runs once per chunk in
+                # the finalize stage (chunk_iforest_cull) — the tree kernels
+                # cost ~80x more inside the scan body than outside it
                 m, table = apply_frame_update(
                     cam, m, table, det, res.assoc, res.new_slots,
                     bxs, bcls, T, kp, cur_pt, frame_id, k_frame,
-                    psi=if_psi, depth=if_depth,
+                    psi=if_psi, depth=if_depth, run_iforest=False,
                 )
                 table = table._replace(re_obj=table.re_obj + res.re_inc)
                 if yaw_on:
@@ -601,7 +604,28 @@ def make_track_chunk(cfg: SystemConfig):
             return m
 
         m = jax.lax.cond(jnp.any(outs.is_kf), finalize, lambda m: m, carry.m)
-        carry = carry._replace(m=m)
+
+        if objects_on:
+            # chunk-rate iForest outlier cull over every object updated this
+            # chunk (per-frame in the reference, src/Object.cc:1202-1309;
+            # batched here — see chunk_iforest_cull's docstring)
+            from eao_slam_tpu.objects.association import (
+                N_OBJ_SAMPLE as _NOS,
+                chunk_iforest_cull,
+            )
+            from eao_slam_tpu.objects.iforest import psi_depth_for as _pdf
+
+            psi_f, depth_f = _pdf(_NOS)
+            key_next, k_cull = jax.random.split(carry.obj_key)
+            C = batch.kp.shape[0]
+            since = carry.frame_id - C + 1
+            m, table = chunk_iforest_cull(
+                cam, m, carry.table, carry.T_last, since, k_cull,
+                psi=psi_f, depth=depth_f,
+            )
+            carry = carry._replace(m=m, table=table, obj_key=key_next)
+        else:
+            carry = carry._replace(m=m)
         return carry, outs
 
     return track_chunk
