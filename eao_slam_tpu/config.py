@@ -126,6 +126,11 @@ class ObjectConfig:
     depth_subsample_limit: float = 3.0    # map-point subsampling band (src/Object.cc:752-810)
     use_cubeslam: bool = False            # single-view cuboid proposals, disabled
                                           # by default like bCubeslam (src/Tracking.cc:1211)
+    per_frame_iforest: bool = False       # True = cull inside the scan body after
+                                          # every frame (the reference's exact pacing,
+                                          # src/Object.cc:1202-1309) instead of the
+                                          # chunk-rate batched cull; ~80x costlier on
+                                          # TPU, kept for the pacing-equivalence test
 
 
 @dataclasses.dataclass(frozen=True)

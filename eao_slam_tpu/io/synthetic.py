@@ -73,10 +73,16 @@ def _cuboid_quads(rng, center, size, tex_size=256):
         ([cx + sx, cy - sy, cz - sz], [0, 2 * sy, 0], [0, 0, 2 * sz]),   # right
         ([cx - sx, cy - sy, cz - sz], [0, 2 * sy, 0], [0, 0, 2 * sz]),   # left
     ]
-    for o, eu, ev in faces:
+    # per-face brightness contrast: real objects present strong intensity
+    # steps across their silhouette/face edges (what EDLines detects in the
+    # reference's Frame ctor); flat value-noise faces would render cuboids
+    # whose edges no line detector can see
+    shade = [0.85, 0.45, 1.0, 0.60]
+    for (o, eu, ev), s in zip(faces, shade):
         quads.append(
             Quad(np.asarray(o, np.float64), np.asarray(eu, np.float64),
-                 np.asarray(ev, np.float64), _smooth_texture(rng, tex_size)))
+                 np.asarray(ev, np.float64),
+                 _smooth_texture(rng, tex_size) * s))
     return quads
 
 
@@ -84,6 +90,8 @@ def make_room_scene(
     seed: int = 0,
     n_landmarks: int = 2000,
     n_objects: int = 3,
+    obj_size_range: tuple = (0.4, 0.9),
+    obj_z_range: tuple = (3.2, 4.8),
 ) -> Scene:
     """A 6x4x6 m room (y down, camera starts near origin looking at +z) with
     textured walls, floor, and a few cuboid 'objects' standing in it."""
@@ -108,9 +116,10 @@ def make_room_scene(
     centers, sizes = [], []
     xs = np.linspace(-1.6, 1.6, max(n_objects, 2))
     for j in range(n_objects):
-        size = rng.uniform(0.4, 0.9, 3)
+        size = rng.uniform(*obj_size_range, 3)
         lift = rng.uniform(0.5, 1.1)
-        c = np.array([xs[j], 2.0 - size[1] / 2.0 - lift, rng.uniform(3.2, 4.8)])
+        c = np.array([xs[j], 2.0 - size[1] / 2.0 - lift,
+                      rng.uniform(*obj_z_range)])
         centers.append(c)
         sizes.append(size)
         quads.extend(_cuboid_quads(rng, c, size))

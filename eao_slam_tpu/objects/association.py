@@ -581,26 +581,10 @@ def apply_frame_update(
     if run_iforest:
         upd_member = (pt_object_id[None, :] == tj[:, None]) & (m.pt_valid[None, :]) \
             & active[:, None]                                       # [B, P]
-        sel = jnp.where(upd_member, 1.0 + h[None, :], 0.0)
-        top_v, mem_idx = jax.lax.top_k(sel, N_IFOREST_SAMPLE)       # [B, S]
-        mem_mask = top_v > 0.0
-        mem_pos = m.pt_pos[mem_idx]                                 # [B, S, 3]
-        n_members = jnp.sum(upd_member, axis=1)
-
-        keys = jax.random.split(key, B)
-        scores = jax.vmap(
-            lambda k, p, msk: anomaly_scores(k, p, msk, 50, psi, depth)
-        )(keys, mem_pos, mem_mask)                                  # [B, S]
-
-        th_if = jnp.where(cls == IFOREST_TV_CLASS, 0.65, 0.6)[:, None]
-        skip_cls = jnp.zeros((B,), bool)
-        for c in IFOREST_SKIP_CLASSES:
-            skip_cls |= cls == c
-        run_forest = active & ~skip_cls & (n_members >= 30)
-        outlier = mem_mask & (scores > th_if) & run_forest[:, None]
-        flat_idx = jnp.where(outlier, mem_idx, P).reshape(-1)
-        pt_object_id = pt_object_id.at[flat_idx].set(-1, mode="drop")
-        pt_obj_votes = pt_obj_votes.at[flat_idx].set(0, mode="drop")
+        pt_object_id, pt_obj_votes = _iforest_score_and_evict(
+            m.pt_pos, pt_object_id, pt_obj_votes, upd_member, cls,
+            active, key, h, psi, depth,
+        )
 
     # ---- 4. table bookkeeping + stats refresh ----------------------------
     valid = table.valid.at[tj].max(active)
@@ -674,6 +658,45 @@ def apply_frame_update(
     return m, table
 
 
+def _iforest_score_and_evict(pt_pos, pt_object_id, pt_obj_votes, member,
+                             cls_vec, extra_gate, key, h, psi, depth):
+    """Shared hash-subsample → isolation-forest score → threshold-evict
+    block of the per-frame and chunk-rate iForest passes
+    (IsolationForestDeleteOutliers, src/Object.cc:1202-1309).
+
+    member: [N, P] point membership per scored row (detections for the
+    per-frame pass, objects for the chunk pass); cls_vec: [N] COCO class
+    (drives the tvmonitor threshold + skip-class gate); extra_gate: [N]
+    caller-specific liveness. psi/depth are keyed to N_OBJ_SAMPLE (not the
+    N_IFOREST_SAMPLE subsample cap) INTENTIONALLY: both passes must score
+    with identical tree geometry so the chunk-rate cull evicts exactly the
+    points the per-frame pass would (tests/test_objects.py pacing test).
+    Returns the updated (pt_object_id, pt_obj_votes)."""
+    P = pt_pos.shape[0]
+    N = member.shape[0]
+    sel = jnp.where(member, 1.0 + h[None, :], 0.0)
+    top_v, mem_idx = jax.lax.top_k(sel, N_IFOREST_SAMPLE)       # [N, S]
+    mem_mask = top_v > 0.0
+    mem_pos = pt_pos[mem_idx]                                   # [N, S, 3]
+    n_members = jnp.sum(member, axis=1)
+
+    keys = jax.random.split(key, N)
+    scores = jax.vmap(
+        lambda k, p, msk: anomaly_scores(k, p, msk, 50, psi, depth)
+    )(keys, mem_pos, mem_mask)                                  # [N, S]
+
+    th_if = jnp.where(cls_vec == IFOREST_TV_CLASS, 0.65, 0.6)[:, None]
+    skip_cls = jnp.zeros((N,), bool)
+    for c in IFOREST_SKIP_CLASSES:
+        skip_cls |= cls_vec == c
+    run_forest = extra_gate & ~skip_cls & (n_members >= 30)
+    outlier = mem_mask & (scores > th_if) & run_forest[:, None]
+    flat_idx = jnp.where(outlier, mem_idx, P).reshape(-1)
+    pt_object_id = pt_object_id.at[flat_idx].set(-1, mode="drop")
+    pt_obj_votes = pt_obj_votes.at[flat_idx].set(0, mode="drop")
+    return pt_object_id, pt_obj_votes
+
+
 @partial(jax.jit, static_argnames=("cam", "psi", "depth"))
 def chunk_iforest_cull(
     cam: Camera,
@@ -693,9 +716,16 @@ def chunk_iforest_cull(
     kernels are ~80x slower inside the scan body than outside it (tiny
     [50, 512] shapes defeat fusion in a TPU while-loop). One cull per chunk
     over all J objects does the same eviction work at 1/B of the per-frame
-    cost — the only semantic drift is that an outlier can survive up to
-    chunk_len-1 extra frames before eviction, during which it only biases
-    the running stats the next refresh recomputes anyway."""
+    cost. The semantic drift: an outlier can survive up to chunk_len-1
+    extra frames before eviction. During that window it biases not just the
+    running stats (which the next refresh recomputes) but also the
+    member-derived gates that feed back into association — the inflated
+    r_max loosens the insertion distance gate (dist <= th*r_max) and the
+    inflated cub_min/cub_max can trip the 3D-overlap young-object cull —
+    so decisions, not only statistics, can diverge from per-frame pacing.
+    tests/test_objects_chunked.py::test_iforest_pacing_equivalence bounds
+    that divergence on a full sequence (per_frame_iforest=True restores
+    the reference pacing exactly)."""
     P = m.pt_pos.shape[0]
     J = table.capacity
 

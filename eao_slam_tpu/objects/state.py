@@ -87,12 +87,18 @@ def cuboid_corners(table: ObjectTable) -> jnp.ndarray:
     frame anchored at the member-point centroid; corners map to world via
     x_w = center + R_y(yaw) @ x_obj."""
     lo, hi = table.cub_min, table.cub_max       # object frame, relative to center
+    # corners 0-3 = bottom ring (y=lo, walking the xz rectangle), 4-7 = top
+    # ring — the reference's corner_1..8 layout (include/Object.h:105-158).
+    # The ring edges (i, i+1 mod 4) are then ALL horizontal (alternating
+    # x- and z-direction), which the yaw sampler's H_EDGES relies on; the
+    # previous front/back-face ordering silently made half of them
+    # vertical and dropped every z-direction edge.
     xs = jnp.stack([lo[:, 0], hi[:, 0], hi[:, 0], lo[:, 0],
                     lo[:, 0], hi[:, 0], hi[:, 0], lo[:, 0]], axis=1)
-    ys = jnp.stack([lo[:, 1], lo[:, 1], hi[:, 1], hi[:, 1],
-                    lo[:, 1], lo[:, 1], hi[:, 1], hi[:, 1]], axis=1)
-    zs = jnp.stack([lo[:, 2], lo[:, 2], lo[:, 2], lo[:, 2],
-                    hi[:, 2], hi[:, 2], hi[:, 2], hi[:, 2]], axis=1)
+    ys = jnp.stack([lo[:, 1], lo[:, 1], lo[:, 1], lo[:, 1],
+                    hi[:, 1], hi[:, 1], hi[:, 1], hi[:, 1]], axis=1)
+    zs = jnp.stack([lo[:, 2], lo[:, 2], hi[:, 2], hi[:, 2],
+                    lo[:, 2], lo[:, 2], hi[:, 2], hi[:, 2]], axis=1)
     corners_obj = jnp.stack([xs, ys, zs], axis=-1)          # [J, 8, 3]
     R = yaw_rotation(table.yaw)                             # [J, 3, 3]
     return table.center[:, None, :] + jnp.einsum("jab,jkb->jka", R, corners_obj)

@@ -3,12 +3,24 @@
 Rebuild of Tracking::SampleObjYaw + AssociateObjAndLines
 (src/Tracking.cc:2472-2871, SURVEY.md §2.1 yaw row): 30 yaw hypotheses in
 ±45° (3° steps) rotate the object cuboid about the (gravity) y axis; the
-8 horizontal cuboid edges are projected into the frame and scored by how
-parallel the object's detected 2D line segments are to them (5° gate);
-per-sample (count, score, error) accumulate across frames in the object
-table's yaw_hist, and the best-supported sample sets the cuboid yaw.
+cuboid's three characteristic edge directions — length (top x-edge), width
+(top z-edge) and height (a vertical edge) — are projected into the frame
+and each associated 2D line votes for hypotheses whose edges it parallels
+(5° gate, raw left-to-right-normalized angles, src/Tracking.cc:2701-2795).
+Per the reference, the projected edge that is currently SHORTEST (most
+foreshortened, least reliable) is excluded from matching, except for the
+chair class which always matches all and triple-weights the length edge
+(src/Tracking.cc:2745-2752).
 
-Everything is one [B, S, E, L] angle-comparison tensor per frame — the
+Multi-frame accumulation mirrors mvAngleTimesAndScore
+(src/Tracking.cc:2813-2871): each frame casts ONE vote — the argmax-count
+sample — carrying score (num/nLines)·(1 − 0.1·meanErr/10); votes and
+running-mean scores accumulate per sample, and the elected yaw is the
+best-scoring among the 3 most-voted samples. Per-frame argmax voting is
+what makes the estimator robust: a broad flat match distribution
+contributes exactly one (low-score) vote instead of drowning the signal.
+
+Everything is one [B, S, L] angle-comparison tensor per frame — the
 reference's nested loops over samples x lines collapse into a broadcast.
 """
 
@@ -26,13 +38,15 @@ from eao_slam_tpu.objects.state import ObjectTable, yaw_rotation
 YAW_SAMPLES = 30
 YAW_RANGE = jnp.deg2rad(45.0)
 ANGLE_GATE = jnp.deg2rad(5.0)
+CHAIR_CLASS = 56
 
-# horizontal cuboid edges as corner index pairs (bottom 4 + top 4); corner
-# order matches objects/state.cuboid_corners
-H_EDGES = jnp.asarray(
-    [[0, 1], [1, 2], [2, 3], [3, 0], [4, 5], [5, 6], [6, 7], [7, 4]],
-    jnp.int32,
-)
+# characteristic edges as corner index pairs in the bottom-ring/top-ring
+# corner order of objects/state.cuboid_corners: length = top x-edge
+# (ref corner_5→6), width = top z-edge (ref corner_6→7), height = a
+# vertical edge (ref corner_2→6) — src/Tracking.cc:2689-2723
+EDGE_LEN = (4, 5)
+EDGE_WID = (5, 6)
+EDGE_HGT = (1, 5)
 
 
 def sample_yaws() -> jnp.ndarray:
@@ -57,6 +71,13 @@ def lines_in_box(lines: jnp.ndarray, line_valid: jnp.ndarray,
     return m & line_valid[None, :]
 
 
+def _lr_angle(d):
+    """Angle of a 2D direction normalized left-to-right (the reference's
+    align_left_right_edges convention): result in (-pi/2, pi/2]."""
+    sgn = jnp.where(d[..., 0] >= 0, 1.0, -1.0)
+    return jnp.arctan2(sgn * d[..., 1], sgn * d[..., 0])
+
+
 @partial(jax.jit, static_argnames=("cam",))
 def yaw_sample_scores(
     cam: Camera,
@@ -67,50 +88,83 @@ def yaw_sample_scores(
     lines: jnp.ndarray,       # [L, 4]
     line_valid: jnp.ndarray,  # [L]
 ):
-    """Per-(detection, yaw sample): (aligned-line count, angle-error sum).
-    Returns (counts [B, S], errs [B, S], n_lines [B])."""
+    """Per-(detection, yaw sample): (parallel-line count, yaw-error sum in
+    degrees). Returns (counts [B, S], errs [B, S], n_lines [B])."""
     J = table.capacity
     B = targets.shape[0]
-    S = YAW_SAMPLES
     tj = jnp.clip(targets, 0, J - 1)
     active = targets >= 0
 
     lm = lines_in_box(lines, line_valid, boxes) & active[:, None]   # [B, L]
     n_lines = jnp.sum(lm, axis=1)
 
-    line_ang = jnp.arctan2(
-        lines[:, 3] - lines[:, 1], lines[:, 2] - lines[:, 0]
-    )                                                                # [L]
+    line_ang = _lr_angle(lines[:, 2:4] - lines[:, 0:2])             # [L]
 
-    yaws = sample_yaws()                                             # [S]
-    # cuboid corners per (detection, sample)
+    yaws = sample_yaws()                                            # [S]
+    # cuboid corners per (detection, sample): bottom ring then top ring
+    # (state.cuboid_corners order)
     lo = table.cub_min[tj]
     hi = table.cub_max[tj]
     ctr = table.center[tj]
     xs = jnp.stack([lo[:, 0], hi[:, 0], hi[:, 0], lo[:, 0],
                     lo[:, 0], hi[:, 0], hi[:, 0], lo[:, 0]], 1)
-    ys_ = jnp.stack([lo[:, 1], lo[:, 1], hi[:, 1], hi[:, 1],
-                     lo[:, 1], lo[:, 1], hi[:, 1], hi[:, 1]], 1)
-    zs = jnp.stack([lo[:, 2], lo[:, 2], lo[:, 2], lo[:, 2],
-                    hi[:, 2], hi[:, 2], hi[:, 2], hi[:, 2]], 1)
-    corners_obj = jnp.stack([xs, ys_, zs], -1)                       # [B, 8, 3]
-    R = yaw_rotation(yaws)                                           # [S, 3, 3]
+    ys_ = jnp.stack([lo[:, 1], lo[:, 1], lo[:, 1], lo[:, 1],
+                     hi[:, 1], hi[:, 1], hi[:, 1], hi[:, 1]], 1)
+    zs = jnp.stack([lo[:, 2], lo[:, 2], hi[:, 2], hi[:, 2],
+                    lo[:, 2], lo[:, 2], hi[:, 2], hi[:, 2]], 1)
+    corners_obj = jnp.stack([xs, ys_, zs], -1)                      # [B, 8, 3]
+    R = yaw_rotation(yaws)                                          # [S, 3, 3]
     corners_w = ctr[:, None, None, :] + jnp.einsum(
         "sac,bkc->bska", R, corners_obj
-    )                                                                # [B, S, 8, 3]
+    )                                                               # [B, S, 8, 3]
 
     uv = project(cam, se3.apply(T_cw[None, None, None], corners_w))  # [B, S, 8, 2]
-    e0 = uv[:, :, H_EDGES[:, 0], :]                                  # [B, S, E, 2]
-    e1 = uv[:, :, H_EDGES[:, 1], :]
-    edge_ang = jnp.arctan2(e1[..., 1] - e0[..., 1], e1[..., 0] - e0[..., 0])
 
-    # min angle distance line vs any projected edge (mod pi)
-    diff = jnp.abs(edge_ang[:, :, :, None] - line_ang[None, None, None, :])
-    diff = jnp.abs(jnp.mod(diff + jnp.pi / 2, jnp.pi) - jnp.pi / 2)  # [B,S,E,L]
-    best = jnp.min(diff, axis=2)                                     # [B, S, L]
-    aligned = (best < ANGLE_GATE) & lm[:, None, :]
-    counts = jnp.sum(aligned, axis=2)                                # [B, S]
-    errs = jnp.sum(jnp.where(aligned, best, 0.0), axis=2)
+    def edge(pair):
+        d = uv[:, :, pair[1], :] - uv[:, :, pair[0], :]
+        return _lr_angle(d), jnp.linalg.norm(d, axis=-1)            # [B, S]
+
+    ang1, len1 = edge(EDGE_LEN)
+    ang2, len2 = edge(EDGE_WID)
+    ang3, len3 = edge(EDGE_HGT)
+
+    # raw (non-wrapped) angle distances, as the reference compares them
+    d1 = jnp.abs(ang1[:, :, None] - line_ang[None, None, :])        # [B, S, L]
+    d2 = jnp.abs(ang2[:, :, None] - line_ang[None, None, :])
+    d3 = jnp.abs(ang3[:, :, None] - line_ang[None, None, :])
+
+    lens = jnp.stack([len1, len2, len3], -1)                        # [B, S, 3]
+    shortest = jnp.argmin(lens, axis=-1)[:, :, None]                # [B, S, 1]
+
+    m1 = d1 < ANGLE_GATE
+    m2 = d2 < ANGLE_GATE
+    m3 = d3 < ANGLE_GATE
+    # non-chair: the shortest projected edge is excluded; a line counts if
+    # it parallels either remaining edge; yaw error = min distance to them
+    cnt_s0 = (m2 | m3).astype(jnp.float32)     # shortest == len1
+    err_s0 = jnp.minimum(d2, d3)
+    cnt_s1 = (m1 | m3).astype(jnp.float32)     # shortest == len2
+    err_s1 = jnp.minimum(d1, d3)
+    cnt_s2 = (m1 | m2).astype(jnp.float32)     # shortest == len3
+    err_s2 = jnp.minimum(d1, d2)
+    cnt_gen = jnp.where(shortest == 0, cnt_s0,
+                        jnp.where(shortest == 1, cnt_s1, cnt_s2))
+    err_gen = jnp.where(shortest == 0, err_s0,
+                        jnp.where(shortest == 1, err_s1, err_s2))
+    # chair: width/height edges vote once, the length edge votes triple
+    # (src/Tracking.cc:2745-2752). Divergence: the reference accumulates
+    # no yaw error for chairs, leaving every sample in the ±5° match
+    # plateau tied; we accumulate the min edge distance so the score can
+    # rank within the plateau (their fError field is "no used in this
+    # version" anyway).
+    cnt_chair = (m2 | m3).astype(jnp.float32) + 3.0 * m1.astype(jnp.float32)
+    err_chair = jnp.minimum(d1, jnp.minimum(d2, d3))
+    is_chair = (table.cls[tj] == CHAIR_CLASS)[:, None, None]
+    cnt = jnp.where(is_chair, cnt_chair, cnt_gen)
+    err = jnp.where(is_chair, err_chair, err_gen)
+
+    counts = jnp.sum(jnp.where(lm[:, None, :], cnt, 0.0), axis=2)   # [B, S]
+    errs = jnp.rad2deg(jnp.sum(jnp.where(lm[:, None, :], err, 0.0), axis=2))
     return counts, errs, n_lines
 
 
@@ -119,31 +173,57 @@ def update_yaw(
     table: ObjectTable,
     targets: jnp.ndarray,
     counts: jnp.ndarray,   # [B, S]
-    errs: jnp.ndarray,
+    errs: jnp.ndarray,     # [B, S] summed yaw error, degrees
     n_lines: jnp.ndarray,  # [B]
 ):
-    """Accumulate per-sample evidence into yaw_hist and re-elect each
-    object's yaw (the reference's multi-frame (yaw, count, score, err)
-    table, src/Tracking.cc:2760-2871)."""
+    """One vote per frame: the argmax-count sample gets (times += 1,
+    running-mean score), then the object's yaw re-elects as the best-scoring
+    of its 3 most-voted samples — the mvAngleTimesAndScore protocol
+    (src/Tracking.cc:2796-2871). yaw_hist layout: [J, S, (times, mean
+    score, mean yaw-error)]."""
     J = table.capacity
+    S = counts.shape[1]
     tj = jnp.clip(targets, 0, J - 1)
     active = (targets >= 0) & (n_lines >= 2)
     safe = jnp.where(active, tj, J)
 
-    score = counts / jnp.maximum(n_lines, 1)[:, None]
-    upd = jnp.stack([
-        counts.astype(jnp.float32), score.astype(jnp.float32), errs
-    ], -1)                                                           # [B, S, 3]
-    hist = table.yaw_hist.at[safe].add(upd, mode="drop")
+    yaws = sample_yaws()
+    # winner = max count, count ties broken by lower mean yaw error, then
+    # by proximity to 0 (the reference iterates 0° outward and keeps the
+    # first maximum, src/Tracking.cc:2647-2650)
+    err_mean = errs / jnp.maximum(counts, 1.0)      # degrees, < 180
+    tie = -1e-4 * jnp.abs(yaws)[None, :]
+    win = jnp.argmax(counts * 1e3 - err_mean + tie, axis=1)         # [B]
+    num = jnp.take_along_axis(counts, win[:, None], 1)[:, 0]
+    e_win = jnp.take_along_axis(errs, win[:, None], 1)[:, 0]
+    # num==0 fallback: one phantom vote with 10° error (src/Tracking.cc:2796)
+    e_win = jnp.where(num > 0, e_win, 10.0)
+    num = jnp.maximum(num, 1.0)
+    f_err = (e_win / num) / 10.0
+    score = (num / jnp.maximum(n_lines, 1)) * (1.0 - 0.1 * f_err)
 
-    # elect: rank = total_count * mean_score / (mean_err + eps), needs some
-    # minimum accumulated support before overriding yaw 0
-    cnt = hist[..., 0]
+    # scatter the one vote per detection (times, running-mean score/err)
+    hist = table.yaw_hist
+    times0 = hist[jnp.clip(safe, 0, J - 1), win, 0]
+    times1 = times0 + 1.0
+    upd = jnp.stack([
+        jnp.ones_like(score),
+        (score - hist[jnp.clip(safe, 0, J - 1), win, 1]) / times1,
+        (f_err - hist[jnp.clip(safe, 0, J - 1), win, 2]) / times1,
+    ], -1)                                                          # [B, 3]
+    hist = hist.at[safe, win].add(
+        jnp.where(active[:, None], upd, 0.0), mode="drop")
+
+    # elect: best mean score among the 3 most-voted samples, once an
+    # object has accumulated >=3 votes (guards early jitter; the reference
+    # re-elects from the first vote)
+    times = hist[..., 0]
     sc = hist[..., 1]
-    er = hist[..., 2]
-    rank = cnt * sc / (er / jnp.maximum(cnt, 1.0) + 0.05)
-    best = jnp.argmax(rank, axis=1)                                  # [J]
-    enough = jnp.take_along_axis(cnt, best[:, None], 1)[:, 0] >= 5.0
-    yaws = sample_yaws()[best]
-    new_yaw = jnp.where(enough & table.valid, yaws, table.yaw)
+    _, top3 = jax.lax.top_k(times, 3)                               # [J, 3]
+    sc3 = jnp.take_along_axis(sc, top3, 1)
+    t3 = jnp.take_along_axis(times, top3, 1)
+    sc3 = jnp.where(t3 > 0, sc3, -1.0)
+    best = jnp.take_along_axis(top3, jnp.argmax(sc3, 1)[:, None], 1)[:, 0]
+    enough = jnp.sum(times, axis=1) >= 3.0
+    new_yaw = jnp.where(enough & table.valid, yaws[best], table.yaw)
     return table._replace(yaw_hist=hist, yaw=new_yaw)

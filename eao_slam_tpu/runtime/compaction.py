@@ -55,6 +55,7 @@ class MaintResult(NamedTuple):
     kf_count: jnp.ndarray   # int32 — compacted keyframe count
     pt_count: jnp.ndarray   # int32 — compacted point count
     pt_remap: jnp.ndarray   # [P] old point id -> new id (-1 = dropped)
+    kf_remap: jnp.ndarray   # [K] old keyframe slot -> new slot (-1 = culled)
     n_culled_kf: jnp.ndarray
 
 
@@ -179,5 +180,6 @@ def cull_and_compact(
         kf_count=jnp.sum(kf_valid).astype(jnp.int32),
         pt_count=jnp.sum(pt_valid).astype(jnp.int32),
         pt_remap=pt_remap,
+        kf_remap=kf_remap,
         n_culled_kf=n_culled,
     )

@@ -127,6 +127,15 @@ def frame_from_image(
         return jnp.pad(a, pad_width, constant_values=fill)
 
     kp = undistort_points(cfg.camera, feats.kp)
+    if cfg.flag.use_yaw_lines and "lines" not in box_line_kw:
+        # online per-frame 2D line detection, as the reference runs in the
+        # Frame constructor (src/Frame.cc:324-335) to feed object-line
+        # association and yaw sampling (src/Tracking.cc:2472-2871)
+        from eao_slam_tpu.ops.lines import detect_segments
+
+        segs, sv = detect_segments(img, max_lines=cfg.capacity.max_lines)
+        box_line_kw = dict(box_line_kw, lines=np.asarray(segs),
+                           line_valid=np.asarray(sv))
     return frame_from_arrays(
         cfg,
         kp=pad(kp),

@@ -81,6 +81,34 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
 
+    def remap_slots(self, kf_remap: np.ndarray) -> None:
+        """Carry detection state through a slot compaction
+        (runtime/compaction.py): signatures move to their new slots,
+        consistency-streak groups re-key (dropping culled members), and the
+        last-loop anchor maps to the nearest surviving predecessor. The
+        reference's consistency groups persist for the map's lifetime
+        (src/LoopClosing.cc:103-229); resetting here would silently miss
+        any loop maturing across a maintenance boundary."""
+        K = len(kf_remap)
+        kept = kf_remap >= 0
+        new_sigs = np.zeros_like(self.signatures)
+        new_sigs[kf_remap[kept]] = self.signatures[:K][kept]
+        self.signatures = new_sigs
+        new_streak: dict = {}
+        for group, streak in self.consistent_streak.items():
+            g2 = tuple(sorted(
+                int(kf_remap[s]) for s in group
+                if 0 <= s < K and kf_remap[s] >= 0
+            ))
+            if g2:
+                new_streak[g2] = max(streak, new_streak.get(g2, 0))
+        self.consistent_streak = new_streak
+        if self.last_loop_order >= 0:
+            upto = kf_remap[: self.last_loop_order + 1]
+            self.last_loop_order = (
+                int(upto.max()) if (upto >= 0).any() else -999
+            )
+
     def on_keyframe(self, tracker, slot: int) -> bool:
         """Run detection (+ correction on success) for a new keyframe.
         Returns True if a loop was closed (map rewritten)."""

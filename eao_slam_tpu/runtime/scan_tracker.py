@@ -74,6 +74,10 @@ class ChunkCarry(NamedTuple):
     frame_id: jnp.ndarray      # int32
     table: object              # ObjectTable ([1]-slot dummy when disabled)
     obj_key: jnp.ndarray       # [2] uint32 PRNG key for the iForest pass
+    # localization-only switch (System::ActivateLocalizationMode /
+    # mbOnlyTracking, src/Tracking.cc:245-257): False freezes the map —
+    # no keyframe insertion, no BA, no object updates
+    allow_kf: object = True    # bool scalar
 
 
 class ChunkOutputs(NamedTuple):
@@ -102,6 +106,10 @@ class FrameBatch(NamedTuple):
     box_valid: object = None   # [C, Bx]
     lines: object = None       # [C, L, 4]
     line_valid: object = None  # [C, L]
+    # per-frame liveness mask for partial tail chunks: inactive frames pass
+    # the carry through untouched (the chunk program is fixed-shape, so the
+    # final sub-chunk of a sequence pads and masks instead of recompiling)
+    active: object = None      # [C] bool
 
 
 # ---------------------------------------------------------------------------
@@ -367,10 +375,28 @@ def make_chunk_step(cfg: SystemConfig):
 
     def step(carry: ChunkCarry, xs):
         if objects_on:
-            (kp, desc, octave, angle, valid, ts,
+            (kp, desc, octave, angle, valid, ts, act,
              bxs, bcls, bscore, bvalid, lns, lnv) = xs
         else:
-            kp, desc, octave, angle, valid, ts = xs
+            kp, desc, octave, angle, valid, ts, act = xs
+
+        def skip_frame(carry):
+            # padded tail slot: carry untouched, output a hold-state record
+            out = (carry.T_last, carry.state,
+                   jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+            return carry, out
+
+        def live_frame(carry):
+            return _live_step(carry, kp, desc, octave, angle, valid, ts,
+                              *((bxs, bcls, bscore, bvalid, lns, lnv)
+                                if objects_on else ()))
+
+        return jax.lax.cond(act, live_frame, skip_frame, carry)
+
+    def _live_step(carry: ChunkCarry, kp, desc, octave, angle, valid, ts,
+                   *obj_xs):
+        if objects_on:
+            bxs, bcls, bscore, bvalid, lns, lnv = obj_xs
         m = carry.m
         scale2 = jnp.asarray(scale2_const)
         frame_id = carry.frame_id + 1
@@ -427,7 +453,9 @@ def make_chunk_step(cfg: SystemConfig):
             return r2.T, r2.cur_pt, jnp.where(ok1, r2.n_inliers, 0)
 
         T, cur_pt, n2 = jax.lax.cond(carry.state == OK, do_track, reacquire, None)
+        n2 = n2.astype(jnp.int32)
         tracked = n2 >= tcfg.min_tracked_for_ok
+        allow = jnp.asarray(carry.allow_kf)
 
         # ---- EAO object pass (device-resident; src/Tracking.cc:1246-1647)
         table = carry.table
@@ -452,13 +480,16 @@ def make_chunk_step(cfg: SystemConfig):
                     img_w=int(cam.width), img_h=int(cam.height),
                     min_points=cfg.objects.min_points_per_object,
                 )
-                # run_iforest=False: the outlier cull runs once per chunk in
-                # the finalize stage (chunk_iforest_cull) — the tree kernels
-                # cost ~80x more inside the scan body than outside it
+                # run_iforest=False (default): the outlier cull runs once
+                # per chunk in the finalize stage (chunk_iforest_cull) —
+                # the tree kernels cost ~80x more inside the scan body than
+                # outside it. per_frame_iforest restores the reference's
+                # exact per-frame pacing for the equivalence test.
                 m, table = apply_frame_update(
                     cam, m, table, det, res.assoc, res.new_slots,
                     bxs, bcls, T, kp, cur_pt, frame_id, k_frame,
-                    psi=if_psi, depth=if_depth, run_iforest=False,
+                    psi=if_psi, depth=if_depth,
+                    run_iforest=cfg.objects.per_frame_iforest,
                 )
                 table = table._replace(re_obj=table.re_obj + res.re_inc)
                 if yaw_on:
@@ -470,7 +501,7 @@ def make_chunk_step(cfg: SystemConfig):
                 return m, table, jnp.any(res.new_slots >= 0)
 
             m, table, appear_new = jax.lax.cond(
-                tracked & jnp.any(bvalid),
+                tracked & jnp.any(bvalid) & allow,
                 obj_pass,
                 lambda args: (args[0], args[1], jnp.asarray(False)),
                 (m, table),
@@ -485,6 +516,7 @@ def make_chunk_step(cfg: SystemConfig):
         c2 = n2 < tcfg.kf_tracked_ratio * base.astype(jnp.float32)
         need_kf = (
             tracked
+            & allow
             & (c1 | c2 | appear_new)
             & (n2 > tcfg.min_matches_ref_kf)
             & (carry.kf_count < m.kf_pose.shape[0])
@@ -521,6 +553,7 @@ def make_chunk_step(cfg: SystemConfig):
             frame_id=frame_id,
             table=table,
             obj_key=obj_key,
+            allow_kf=carry.allow_kf,
         )
         out = (T_out, new_carry.state, n2, need_kf)
         return new_carry, out
@@ -550,10 +583,12 @@ def make_track_chunk(cfg: SystemConfig):
 
     @jax.jit
     def track_chunk(carry: ChunkCarry, batch: FrameBatch):
+        C = batch.kp.shape[0]
+        act = (batch.active if batch.active is not None
+               else jnp.ones((C,), bool))
         xs = (batch.kp, batch.desc, batch.octave, batch.angle,
-              batch.valid, batch.timestamp)
+              batch.valid, batch.timestamp, act)
         if objects_on:
-            C = batch.kp.shape[0]
             lns = batch.lines if batch.lines is not None else (
                 jnp.zeros((C, L, 4), jnp.float32))
             lnv = batch.line_valid if batch.line_valid is not None else (
@@ -605,7 +640,7 @@ def make_track_chunk(cfg: SystemConfig):
 
         m = jax.lax.cond(jnp.any(outs.is_kf), finalize, lambda m: m, carry.m)
 
-        if objects_on:
+        if objects_on and not cfg.objects.per_frame_iforest:
             # chunk-rate iForest outlier cull over every object updated this
             # chunk (per-frame in the reference, src/Object.cc:1202-1309;
             # batched here — see chunk_iforest_cull's docstring)
@@ -617,11 +652,18 @@ def make_track_chunk(cfg: SystemConfig):
 
             psi_f, depth_f = _pdf(_NOS)
             key_next, k_cull = jax.random.split(carry.obj_key)
-            C = batch.kp.shape[0]
             since = carry.frame_id - C + 1
-            m, table = chunk_iforest_cull(
-                cam, m, carry.table, carry.T_last, since, k_cull,
-                psi=psi_f, depth=depth_f,
+
+            def do_cull(args):
+                return chunk_iforest_cull(
+                    cam, args[0], args[1], carry.T_last, since, k_cull,
+                    psi=psi_f, depth=depth_f,
+                )
+
+            # localization mode freezes the object map too
+            m, table = jax.lax.cond(
+                jnp.asarray(carry.allow_kf), do_cull, lambda a: a,
+                (m, carry.table),
             )
             carry = carry._replace(m=m, table=table, obj_key=key_next)
         else:
@@ -629,6 +671,71 @@ def make_track_chunk(cfg: SystemConfig):
         return carry, outs
 
     return track_chunk
+
+
+def make_extract_track(cfg: SystemConfig, track_chunk):
+    """Fuse the ORB front end (and, in line-enabled modes, 2D segment
+    detection) with the chunk tracking program: ONE jitted dispatch takes a
+    chunk of raw grayscale images to poses/states. This is the production
+    vision path — the reference runs ORB extraction inside the Frame ctor
+    (src/Frame.cc:324-335) and EDLines line detection right after it; here
+    both are vmapped stages of the same XLA program so extraction work,
+    matching and BA fuse into a single device schedule.
+
+    Returns one of two call signatures depending on the config:
+      geometry modes:  fn(carry, images_u8, ts, active)
+      object modes:    fn(carry, images_u8, ts, bxs, bcls, bscore, bvalid,
+                          active)
+    `active=None` means all-live (the steady-state full chunk)."""
+    from eao_slam_tpu.geometry.camera import undistort_points
+    from eao_slam_tpu.ops.orb import extract_orb
+
+    F = cfg.capacity.max_features
+    objects_on = cfg.flag.objects_enabled
+    lines_on = objects_on and cfg.flag.use_yaw_lines
+    L = cfg.capacity.max_lines
+    if lines_on:
+        from eao_slam_tpu.ops.lines import detect_segments
+
+    def extract(im_u8):
+        img = im_u8.astype(jnp.float32)
+        feats = extract_orb(
+            img, n_features=F, n_levels=cfg.orb.n_levels,
+            scale_factor=cfg.orb.scale_factor,
+            threshold=float(cfg.orb.fast_threshold),
+            min_threshold=float(cfg.orb.fast_min_threshold),
+            border=cfg.orb.edge_threshold,
+        )
+        kp = undistort_points(cfg.camera, feats.kp)
+        if lines_on:
+            segs, sv = detect_segments(img, max_lines=L)
+            return feats._replace(kp=kp), segs, sv
+        return feats._replace(kp=kp), None, None
+
+    if objects_on:
+        @jax.jit
+        def extract_track(carry, images_u8, timestamps,
+                          bxs, bcls, bscore, bvalid, active=None):
+            feats, segs, sv = jax.vmap(extract)(images_u8)
+            batch = FrameBatch(
+                kp=feats.kp, desc=feats.desc, octave=feats.octave,
+                angle=feats.angle, valid=feats.valid, timestamp=timestamps,
+                boxes=bxs, box_class=bcls, box_score=bscore, box_valid=bvalid,
+                lines=segs, line_valid=sv, active=active,
+            )
+            return track_chunk(carry, batch)
+    else:
+        @jax.jit
+        def extract_track(carry, images_u8, timestamps, active=None):
+            feats, _, _ = jax.vmap(extract)(images_u8)
+            batch = FrameBatch(
+                kp=feats.kp, desc=feats.desc, octave=feats.octave,
+                angle=feats.angle, valid=feats.valid, timestamp=timestamps,
+                active=active,
+            )
+            return track_chunk(carry, batch)
+
+    return extract_track
 
 
 # ---------------------------------------------------------------------------
@@ -648,8 +755,15 @@ class ChunkedTracker:
         self.inner = MonoTracker(cfg)
         self.carry: Optional[ChunkCarry] = None
         self._track_chunk = make_track_chunk(cfg)
+        self._extract_track = None  # built lazily by track_images
         self.records: list = []   # (timestamp, T 3x4 np or None, state)
         self.n_maintenance = 0    # cull+compact passes run (observability)
+        self.last_kf_slots: list = []  # (chunk frame idx, slot) of last chunk
+        # listeners called with (kf_remap, pt_remap) np arrays after every
+        # cull+compact pass, so host-side per-slot state (retained keyframe
+        # images, signature caches) survives slot compaction
+        self.compaction_listeners: list = []
+        self._localization_only = False
         # between-chunk loop closing (the reference's LoopClosing thread
         # consumes keyframes asynchronously — here at chunk rate)
         self.loop_closer = None
@@ -703,25 +817,125 @@ class ChunkedTracker:
             frame_id=jnp.asarray(t.frame_id, jnp.int32),
             table=table,
             obj_key=obj_key,
+            allow_kf=jnp.asarray(not self._localization_only),
         )
+
+    # -- mode switches ----------------------------------------------------
+
+    def reset(self):
+        """Clear map + carry and restart from scratch (System::Reset)."""
+        from eao_slam_tpu.runtime.tracker import MonoTracker
+
+        self.inner = MonoTracker(self.cfg)
+        self.carry = None
+        self.records.clear()
+        self.last_kf_slots = []
+        self.n_maintenance = 0
+        self._loop_checked = 0
+        if self.loop_closer is not None:
+            from eao_slam_tpu.runtime.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(self.cfg)
+
+    def set_localization_mode(self, on: bool):
+        """Freeze/unfreeze the map (mbOnlyTracking, src/Tracking.cc:245-257):
+        with the carry's allow_kf False the chunk program inserts no
+        keyframes, runs no BA/culling and leaves the object map untouched."""
+        self._localization_only = bool(on)
+        self.inner.set_localization_mode(on)
+        if self.carry is not None:
+            self.carry = self.carry._replace(allow_kf=jnp.asarray(not on))
 
     # -- chunked tracking ------------------------------------------------
 
     def track_batch(self, batch: FrameBatch) -> ChunkOutputs:
         """Track one chunk of frames; a single device round trip."""
         assert self.carry is not None, "call bootstrap() until it returns True"
+        kf_before = int(self.carry.kf_count)
         self.carry, outs = self._track_chunk(self.carry, batch)
+        return self._after_chunk(outs, np.asarray(batch.timestamp), kf_before)
+
+    def track_images(self, images_u8, timestamps, boxes=None, box_class=None,
+                     box_score=None, box_valid=None) -> ChunkOutputs:
+        """Fused production path: one dispatch takes up to `chunk` raw
+        grayscale images through ORB extraction (+ line detection in
+        line-enabled modes) AND chunk tracking. Short batches (the sequence
+        tail) are padded and masked via FrameBatch.active — same compiled
+        program for every full chunk, one extra variant for tails."""
+        assert self.carry is not None, "call bootstrap() until it returns True"
+        if self._extract_track is None:
+            self._extract_track = make_extract_track(self.cfg, self._track_chunk)
+        C = self.chunk
+        n = int(np.asarray(images_u8).shape[0])
+        assert 0 < n <= C, f"batch of {n} images vs chunk={C}"
+        objects_on = self.cfg.flag.objects_enabled
+
+        def pad(a, fill_like_last=True):
+            a = np.asarray(a)
+            if n == C:
+                return jnp.asarray(a)
+            reps = np.repeat(a[-1:], C - n, axis=0)
+            return jnp.asarray(np.concatenate([a, reps], axis=0))
+
+        imgs = pad(images_u8)
+        ts = pad(np.asarray(timestamps, np.float32))
+        active = None
+        if n < C:
+            act = np.zeros((C,), bool)
+            act[:n] = True
+            active = jnp.asarray(act)
+        kf_before = int(self.carry.kf_count)
+        if objects_on:
+            B = self.cfg.capacity.max_boxes
+            if boxes is None:
+                boxes = np.zeros((n, B, 4), np.float32)
+                box_class = np.full((n, B), -1, np.int32)
+                box_score = np.zeros((n, B), np.float32)
+                box_valid = np.zeros((n, B), bool)
+            self.carry, outs = self._extract_track(
+                self.carry, imgs, ts, pad(boxes), pad(box_class),
+                pad(box_score), pad(box_valid), active=active,
+            )
+        else:
+            self.carry, outs = self._extract_track(
+                self.carry, imgs, ts, active=active)
+        return self._after_chunk(outs, np.asarray(timestamps), kf_before)
+
+    def _after_chunk(self, outs, ts, kf_before: int) -> ChunkOutputs:
+        """Shared post-chunk host work: record poses, assign keyframe slots,
+        then the between-chunk passes (object merge, maintenance, loop
+        closing, relocalization)."""
         host = jax.device_get(outs)
-        ts = np.asarray(batch.timestamp)
+        self.last_kf_slots = []
+        n_kf = 0
         for i in range(len(ts)):
             ok = host.state[i] == OK
             self.records.append(
                 (float(ts[i]), host.T[i] if ok else None, int(host.state[i]))
             )
+            if i < len(ts) and bool(host.is_kf[i]):
+                self.last_kf_slots.append((i, kf_before + n_kf))
+                n_kf += 1
+        self._maybe_merge_objects()
         self._maybe_maintain()
         self._maybe_close_loops()
         self._maybe_relocalize()
         return host
+
+    def _maybe_merge_objects(self):
+        """Chunk-rate object merge/overlap resolution on the production
+        path (MergePotentialAssObjs + DealTwoOverlapObjs,
+        src/LocalMapping.cc:799-882): pairwise stats are one jitted
+        program, the rare merge decisions run on host, the membership
+        rewrite is one jitted apply — one extra dispatch per chunk."""
+        if not self.cfg.flag.objects_enabled or self._localization_only:
+            return
+        from eao_slam_tpu.objects.merge import run_merge_pass
+
+        c = self.carry
+        m, table = run_merge_pass(c.m, c.table)
+        if m is not c.m or table is not c.table:
+            self.carry = c._replace(m=m, table=table)
 
     def _maybe_maintain(self):
         """Between-chunk map maintenance: when the monotonic slot allocators
@@ -753,14 +967,22 @@ class ChunkedTracker:
             last_pt=last_pt,
         )
         self.n_maintenance += 1
-        # slot compaction invalidates the loop closer's per-slot signature
-        # cache and streaks; restart detection state (cheap — signatures
-        # rebuild lazily as keyframes re-enter detection)
+        # remap per-slot host state through the compaction instead of
+        # resetting it: loop-closer signatures + consistency streaks
+        # persist for the map's lifetime in the reference
+        # (src/LoopClosing.cc:103-229), so a loop maturing across a
+        # maintenance boundary must still close
+        kf_remap = np.asarray(res.kf_remap)
+        pt_remap = np.asarray(res.pt_remap)
+        self.last_kf_slots = [
+            (i, int(kf_remap[s])) for i, s in self.last_kf_slots
+            if kf_remap[s] >= 0
+        ]
         if self.loop_closer is not None:
-            from eao_slam_tpu.runtime.loop_closing import LoopCloser
-
-            self.loop_closer = LoopCloser(self.cfg)
-            self._loop_checked = 0
+            self.loop_closer.remap_slots(kf_remap)
+            self._loop_checked = int((kf_remap[:self._loop_checked] >= 0).sum())
+        for cb in self.compaction_listeners:
+            cb(kf_remap, pt_remap)
 
     def _maybe_relocalize(self):
         """Full relocalization between chunks (Tracking::Relocalization,
@@ -855,6 +1077,44 @@ class ChunkedTracker:
                 vel_ok=jnp.asarray(False),
                 last_pt=jnp.asarray(view.kf_pt_host[newest], jnp.int32),
             )
+
+    # -- MonoTracker-compatible views (System facade works over either) ---
+
+    @property
+    def armed(self) -> bool:
+        return self.carry is not None
+
+    @property
+    def state(self) -> int:
+        return int(self.carry.state) if self.armed else self.inner.state
+
+    @property
+    def map(self):
+        return self.carry.m if self.armed else self.inner.map
+
+    @property
+    def kf_slots(self):
+        if not self.armed:
+            return self.inner.kf_slots
+        return list(range(int(self.carry.kf_count)))
+
+    @property
+    def kf_valid_host(self):
+        return np.asarray(self.map.kf_valid)
+
+    @property
+    def kf_pt_host(self):
+        return np.asarray(self.map.kf_pt_idx)
+
+    @property
+    def obj_table(self):
+        if not self.cfg.flag.objects_enabled:
+            return None
+        return self.carry.table if self.armed else self.inner.obj_table
+
+    @property
+    def obj_updater(self):
+        return self.inner.obj_updater
 
     # -- exports ----------------------------------------------------------
 

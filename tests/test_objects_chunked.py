@@ -144,3 +144,68 @@ def test_full_flag_chunk_compiles_and_runs():
     assert int(outs.state[-1]) == OK
     # yaw histogram exists and stayed finite (no lines -> no evidence)
     assert np.isfinite(np.asarray(tracker.carry.table.yaw_hist)).all()
+
+
+@pytest.mark.slow
+def test_iforest_pacing_equivalence():
+    """Per-frame iForest cull (the reference's pacing,
+    src/Object.cc:1202-1309) vs the chunk-rate batched cull: same synthetic
+    sequence, the final object tables and member sets must agree up to a
+    bounded divergence — the claim in chunk_iforest_cull's docstring,
+    tested instead of asserted (VERDICT r3 item 10 / ADVICE r3)."""
+    def run(per_frame: bool):
+        cfg = eao_config()
+        import dataclasses
+        cfg = cfg.replace(objects=dataclasses.replace(
+            cfg.objects, per_frame_iforest=per_frame))
+        scene = make_room_scene(seed=3, n_landmarks=1200, n_objects=3)
+        ts, gt = make_arc_trajectory(n_frames=32, sweep_deg=30.0)
+        rng = np.random.default_rng(7)
+        frames = []
+        for T_gt in gt:
+            obs = simulate_observations(scene, TUM3, T_gt, max_features=256,
+                                        rng=rng, pixel_noise=0.4, bit_flips=6,
+                                        dropout=0.05)
+            bxs, cls, score, bvalid = project_boxes(
+                scene, TUM3, T_gt, cfg.capacity.max_boxes)
+            frames.append(frame_from_arrays(
+                cfg, kp=obs["kp"], desc=obs["desc"], octave=obs["octave"],
+                valid=obs["valid"], boxes=bxs, box_class=cls,
+                box_score=score, box_valid=bvalid))
+        tracker = ChunkedTracker(cfg, chunk=8)
+        i = 0
+        while i < len(frames) and tracker.carry is None:
+            tracker.bootstrap(frames[i], float(ts[i]))
+            i += 1
+        while i + 8 <= len(frames):
+            tracker.track_batch(batch_from_frames(
+                frames[i:i + 8], ts[i:i + 8], with_boxes=True))
+            i += 8
+        table = tracker.carry.table
+        owner = np.asarray(tracker.carry.m.pt_object_id)
+        valid = np.asarray(table.valid) & ~np.asarray(table.bad)
+        centers = np.asarray(table.center)
+        classes = np.asarray(table.cls)
+        return valid, centers, classes, owner
+
+    v_pf, c_pf, k_pf, own_pf = run(per_frame=True)
+    v_cr, c_cr, k_cr, own_cr = run(per_frame=False)
+
+    # same surviving landmark count
+    assert v_pf.sum() == v_cr.sum(), (v_pf.sum(), v_cr.sum())
+
+    # match objects across runs by center proximity + class, compare members
+    for j in np.nonzero(v_pf)[0]:
+        d = np.linalg.norm(c_cr - c_pf[j], axis=-1)
+        d[~v_cr | (k_cr != k_pf[j])] = np.inf
+        j2 = int(np.argmin(d))
+        assert d[j2] < 0.5, f"object {j} has no counterpart ({d[j2]:.2f} m)"
+        mem_a = set(np.nonzero(own_pf == j)[0].tolist())
+        mem_b = set(np.nonzero(own_cr == j2)[0].tolist())
+        union = len(mem_a | mem_b)
+        if union == 0:
+            continue
+        jaccard = len(mem_a & mem_b) / union
+        assert jaccard >= 0.75, (
+            f"member sets diverged: jaccard {jaccard:.2f} "
+            f"({len(mem_a)} vs {len(mem_b)} members)")
