@@ -19,9 +19,32 @@ _LIB_PATH = os.path.join(
 )
 
 
+def _build_lib(path: str) -> bool:
+    """One-shot local build (g++ + system libpng/libjpeg, native/build.sh).
+    The .so is a build artifact, not a committed binary — first import
+    compiles it in ~1 s; failure of any step just means cv2 fallback."""
+    # normpath: the lib/ dir may not exist yet, and exists() refuses paths
+    # with missing intermediate components
+    script = os.path.normpath(
+        os.path.join(os.path.dirname(path), "..", "build.sh"))
+    if not os.path.exists(script):
+        return False
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        return False
+    try:
+        subprocess.run(["sh", script], check=True, capture_output=True,
+                       timeout=120)
+    except Exception:
+        return False
+    return os.path.exists(path)
+
+
 def _load_lib() -> Optional[ctypes.CDLL]:
     path = os.path.abspath(_LIB_PATH)
-    if not os.path.exists(path):
+    if not os.path.exists(path) and not _build_lib(path):
         return None
     lib = ctypes.CDLL(path)
     lib.eao_loader_open.restype = ctypes.c_void_p

@@ -1,4 +1,4 @@
-"""Multi-host distributed BA: observation-sharded, matrix-free CG Schur.
+"""Multi-host distributed BA: observation-sharded Schur, direct or CG.
 
 This is the scalable successor of `parallel/dist_ba.py`, addressing its two
 structural limits (dense `Wcp [K, Pl, 6, 3]` memory — O(K*P) — and the single
@@ -17,7 +17,19 @@ the reduced-camera matvec and preconditioner are computed per host-block and
 `all_gather`ed along `host`. Residual/point work rides the `device` axis
 (ICI).
 
-One LM iteration:
+Two solvers share the LM loop, residual pass and accept logic:
+
+method='direct' (production default): each shard assembles its point-clique
+contribution to the reduced camera system S = Hcc_d − W B⁻¹ Wᵀ ([6K, 6K] —
+a few hundred rows for any realistic BA window), ONE packed psum per LM
+iteration carries (Hcc | bc | cost | WBW | W B⁻¹ bp), and every shard
+solves the replicated dense system with one LU. 2 collectives per LM
+iteration — 12 per 6-iteration solve vs the CG path's 169 — which is what
+keeps 1→N efficiency ≥70% when per-collective latency dominates
+(scaling_bench.py, SCALING_r04.json). Memory per shard is O(P_shard·K)
+for the clique tensor; beyond K ≈ 300 switch to method='cg'.
+
+method='cg' (large-K fallback), one LM iteration:
   * local pass over the observation shard -> Hcc/bc partial sums
     (psum over both axes), Hpp/bp/Binv fully shard-local;
   * the reduced camera system S = Hcc_d - W Hpp_d^-1 W^T is NEVER formed.
@@ -30,10 +42,9 @@ One LM iteration:
     data-dependent control flow);
   * point back-substitution is shard-local.
 
-Collective volume per CG step: one psum of [K, 6] (~KB) — independent of
-P and O, so scaling efficiency stays high as the map grows (BASELINE.md
->=70% 1->N target; measured by `scaling_bench.py` -> SCALING_r02.json).
-Memory per shard: O(O_shard + P_shard + K) — no K*P term.
+CG collective volume per step: one psum of [K, 6] (~KB) — independent of
+P and O; CG memory per shard: O(O_shard + P_shard + K) — no K*P term
+(BASELINE.md >=70% 1->N target; measured by `scaling_bench.py`).
 """
 
 from __future__ import annotations
@@ -184,7 +195,7 @@ def _seg_kf(x, kf_idx, K):
 
 
 def _make_dist_step(cam: Camera, iters: int, n_cg: int, n_host: int,
-                    n_shards: int):
+                    n_shards: int, direct: bool = False):
     def body(rep: BAProblem, sh: ShardedBA):
         K = rep.poses.shape[0]
         Pl = sh.points.shape[0]
@@ -192,8 +203,112 @@ def _make_dist_step(cam: Camera, iters: int, n_cg: int, n_host: int,
         f = free.astype(jnp.float32)
         eye3, eye6 = jnp.eye(3), jnp.eye(6)
 
+        def _apply_update(poses, pts_l, lam, cost, dc, bp, Binv, Jc, Jp, w):
+            """Shared LM tail: point back-substitution (local), trust-region
+            clip, accept/reject on the packed (cost, finiteness) psum.
+            Returns (poses, pts_l, lam, cost-after-this-iteration) — the
+            final carry cost IS the solve's cost, saving the post-loop
+            cost psum (every collective counts at pod latency)."""
+            # point back-substitution — fully local
+            s = jnp.einsum("oij,oj->oi", Jc, dc[sh.kf_idx])          # [Os, 2]
+            ztop = jnp.einsum("oij,oi->oj", Jp, s * w[:, None])      # [Os, 3]
+            rhs_p = -bp - _seg_pt(ztop, sh.pt_local, Pl)
+            dp = jnp.einsum("pij,pj->pi", Binv, rhs_p)
+            dp = dp * sh.pt_valid[:, None].astype(dp.dtype)
+
+            dc_norm = jnp.linalg.norm(dc, axis=-1, keepdims=True)
+            dc = dc * jnp.minimum(1.0, 1.0 / jnp.maximum(dc_norm, 1e-12))
+            new_poses = jax.vmap(
+                lambda d, T: se3.orthonormalize(se3.compose(se3.exp(d), T))
+            )(dc, poses)
+            new_pts = pts_l + dp
+            _, _, _, _, nc_p, _ = _local_residuals(cam, new_poses, new_pts, sh)
+            # pack (new_cost, points-finite) into one psum
+            pk = jax.lax.psum(
+                jnp.stack([
+                    nc_p, jnp.all(jnp.isfinite(new_pts)).astype(jnp.float32)
+                ]), BOTH,
+            )
+            new_cost = pk[0]
+            finite = (
+                jnp.all(jnp.isfinite(new_poses))
+                & jnp.isfinite(new_cost)
+                & (pk[1] == n_shards)  # every shard reported finite points
+            )
+            accept = (new_cost < cost) & finite
+            poses = jnp.where(accept, new_poses, poses)
+            pts_l = jnp.where(accept, new_pts, pts_l)
+            lam = jnp.clip(jnp.where(accept, lam * 0.4, lam * 5.0), 1e-8, 1e4)
+            return poses, pts_l, lam, jnp.where(accept, new_cost, cost)
+
+        def lm_iter_direct(_, carry):
+            """Direct Schur: each shard assembles its point-clique
+            contribution to the reduced camera matrix S = Hcc_d − W B⁻¹ Wᵀ
+            ([6K, 6K] — small for any realistic BA window), ONE packed
+            psum per LM iteration carries (Hcc, bc, cost, WBW, W B⁻¹ bp),
+            and every shard solves the replicated dense system with a
+            single LU (O((6K)³) ≈ 24 MFLOP at K=48 — noise next to the
+            residual pass). Replaces the matrix-free CG whose per-matvec
+            [K, 6] psum cost n_cg+2 latency-bound collectives per LM
+            iteration: 169 → 13 collectives per solve at the scaling
+            bench's 6×24 schedule, which is what moves 1→8 efficiency
+            under the measured-latency model (SCALING_r03 item)."""
+            poses, pts_l, lam, _prev_cost = carry
+            r, Jc, Jp, w, cost_p, _ = _local_residuals(cam, poses, pts_l, sh)
+            wJc = Jc * w[:, None, None]
+            wJp = Jp * w[:, None, None]
+            occ = _seg_kf(jnp.einsum("oki,okj->oij", wJc, Jc), sh.kf_idx, K)
+            obc = _seg_kf(jnp.einsum("oki,ok->oi", wJc, r), sh.kf_idx, K)
+            Hpp = _seg_pt(jnp.einsum("oki,okj->oij", wJp, Jp), sh.pt_local, Pl)
+            bp = _seg_pt(jnp.einsum("oki,ok->oi", wJp, r), sh.pt_local, Pl)
+
+            diag_p = jnp.maximum(jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-8)
+            floor_p = 1e-5 * jnp.max(diag_p, axis=1, keepdims=True) + 1e-8
+            Binv = inv3x3(Hpp + (lam * diag_p + floor_p)[:, :, None] * eye3[None])
+
+            # per-(point, camera) clique blocks W_kp = Σ_o Jcᵀ w Jp  [6, 3]
+            Wkp = jnp.einsum("oci,ocj->oij", wJc, Jp)               # [Os, 6, 3]
+            idx = sh.pt_local * K + sh.kf_idx
+            Y = jax.ops.segment_sum(
+                Wkp, idx, num_segments=Pl * K).reshape(Pl, K, 6, 3)
+            Z = jnp.einsum("pkil,plm->pkim", Y, Binv)               # W B⁻¹
+            A = Z.transpose(1, 2, 0, 3).reshape(K * 6, Pl * 3)
+            Bm = Y.transpose(1, 2, 0, 3).reshape(K * 6, Pl * 3)
+            WBW = A @ Bm.T                                          # [6K, 6K]
+            t0 = jnp.einsum("pij,pj->pi", Binv, bp)
+            u0 = jnp.einsum("pkij,pj->ki", Y, t0)                   # [K, 6]
+
+            packed = jax.lax.psum(
+                jnp.concatenate([
+                    occ.reshape(-1), obc.reshape(-1), cost_p[None],
+                    WBW.reshape(-1), u0.reshape(-1),
+                ]), BOTH,
+            )
+            off = K * 36
+            Hcc = packed[:off].reshape(K, 6, 6)
+            bc = packed[off:off + K * 6].reshape(K, 6); off += K * 6
+            cost = packed[off]; off += 1
+            WBW = packed[off:off + (K * 6) ** 2].reshape(K * 6, K * 6)
+            off += (K * 6) ** 2
+            u0 = packed[off:off + K * 6].reshape(K, 6)
+
+            diag_c = jnp.maximum(jnp.diagonal(Hcc, axis1=1, axis2=2), 1e-8)
+            Hcc_d = Hcc + lam * diag_c[:, :, None] * eye6[None]
+            Hcc_d = Hcc_d * f[:, None, None] + (1.0 - f)[:, None, None] * eye6[None]
+
+            S = (-WBW).reshape(K, 6, K, 6)
+            S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc_d)
+            S = S.reshape(K * 6, K * 6)
+            f6 = jnp.repeat(f, 6)
+            S = S * (f6[:, None] * f6[None, :]) + jnp.diag(1.0 - f6)
+            rhs = ((-bc + u0) * f[:, None]).reshape(-1)
+            dc = jnp.linalg.solve(S, rhs).reshape(K, 6) * f[:, None]
+
+            return _apply_update(poses, pts_l, lam, cost, dc, bp, Binv,
+                                 Jc, Jp, w)
+
         def lm_iter(_, carry):
-            poses, pts_l, lam = carry
+            poses, pts_l, lam, _prev_cost = carry
             r, Jc, Jp, w, cost_p, _ = _local_residuals(cam, poses, pts_l, sh)
 
             wJc = Jc * w[:, None, None]
@@ -274,55 +389,27 @@ def _make_dist_step(cam: Camera, iters: int, n_cg: int, n_host: int,
                 0, n_cg, cg_step, (x0, rhs, z0, jnp.sum(rhs * z0))
             )
             dc = dc * f[:, None]
+            return _apply_update(poses, pts_l, lam, cost, dc, bp, Binv,
+                                 Jc, Jp, w)
 
-            # point back-substitution — fully local
-            s = jnp.einsum("oij,oj->oi", Jc, dc[sh.kf_idx])          # [Os, 2]
-            ztop = jnp.einsum("oij,oi->oj", Jp, s * w[:, None])      # [Os, 3]
-            rhs_p = -bp - _seg_pt(ztop, sh.pt_local, Pl)
-            dp = jnp.einsum("pij,pj->pi", Binv, rhs_p)
-            dp = dp * sh.pt_valid[:, None].astype(dp.dtype)
-
-            dc_norm = jnp.linalg.norm(dc, axis=-1, keepdims=True)
-            dc = dc * jnp.minimum(1.0, 1.0 / jnp.maximum(dc_norm, 1e-12))
-            new_poses = jax.vmap(
-                lambda d, T: se3.orthonormalize(se3.compose(se3.exp(d), T))
-            )(dc, poses)
-            new_pts = pts_l + dp
-            _, _, _, _, nc_p, _ = _local_residuals(cam, new_poses, new_pts, sh)
-            # pack (new_cost, points-finite) into one psum
-            pk = jax.lax.psum(
-                jnp.stack([
-                    nc_p, jnp.all(jnp.isfinite(new_pts)).astype(jnp.float32)
-                ]), BOTH,
-            )
-            new_cost = pk[0]
-            finite = (
-                jnp.all(jnp.isfinite(new_poses))
-                & jnp.isfinite(new_cost)
-                & (pk[1] == n_shards)  # every shard reported finite points
-            )
-            accept = (new_cost < cost) & finite
-            poses = jnp.where(accept, new_poses, poses)
-            pts_l = jnp.where(accept, new_pts, pts_l)
-            lam = jnp.clip(jnp.where(accept, lam * 0.4, lam * 5.0), 1e-8, 1e4)
-            return poses, pts_l, lam
-
-        poses, pts_l, _ = jax.lax.fori_loop(
-            0, iters, lm_iter, (rep.poses, sh.points, jnp.float32(1e-4))
+        poses, pts_l, _, cost = jax.lax.fori_loop(
+            0, iters, lm_iter_direct if direct else lm_iter,
+            (rep.poses, sh.points, jnp.float32(1e-4), jnp.float32(jnp.inf))
         )
         r, _, _, w, cost_p, depth_ok = _local_residuals(cam, poses, pts_l, sh)
         chi2 = jnp.sum(r * r, -1) * sh.inv_sigma2
         # depth_ok matches the single-chip classification (solvers/ba.py:276):
         # a behind-camera observation is never an inlier
         inlier = sh.obs_valid & depth_ok & (chi2 < CHI2_MONO)
-        cost = jax.lax.psum(cost_p, BOTH)
+        # final cost rides the last LM iteration's accept psum (carry) —
+        # no post-loop collective
         return poses, pts_l, inlier, cost
 
     return body
 
 
-@partial(jax.jit, static_argnames=("cam", "iters", "n_cg", "mesh"))
-def _run_sharded(cam, rep, sh, mesh, iters, n_cg):
+@partial(jax.jit, static_argnames=("cam", "iters", "n_cg", "mesh", "direct"))
+def _run_sharded(cam, rep, sh, mesh, iters, n_cg, direct=False):
     n_host = mesh.shape[HOST_AXIS]
     n_shards = int(mesh.devices.size)
     repsp = P()
@@ -337,7 +424,7 @@ def _run_sharded(cam, rep, sh, mesh, iters, n_cg):
     def wrapped(rep_, sh_):
         sh_ = jax.tree.map(lambda a: a[0], sh_)  # drop the unit shard dim
         poses, pts_l, inlier, cost = _make_dist_step(
-            cam, iters, n_cg, n_host, n_shards
+            cam, iters, n_cg, n_host, n_shards, direct=direct
         )(rep_, sh_)
         return poses, pts_l[None], inlier[None], cost
 
@@ -358,15 +445,25 @@ def distributed_bundle_adjust_v2(
     mesh: Mesh,
     iters: int = 10,
     n_cg: int = 32,
+    method: str = "direct",
 ) -> BAResult:
     """Replicated-in / replicated-out distributed BA on a ('host','device')
     mesh. Observation routing happens once on the host (cheap vs the solve);
-    results are re-assembled to the caller's original K / P sizes."""
+    results are re-assembled to the caller's original K / P sizes.
+
+    method: 'direct' (default) assembles the [6K, 6K] reduced camera
+    system from shard-local point cliques and solves it replicated — 2
+    collectives per LM iteration, the production configuration for any
+    BA window that fits K ≲ 300 (the clique tensor is O(P_shard·K)).
+    'cg' is the matrix-free block-Jacobi CG solver — O(K) memory per
+    shard, for camera counts where 6K×6K no longer fits or a dense
+    solve would dominate."""
+    assert method in ("direct", "cg"), method
     S = int(mesh.devices.size)
     n_host = int(mesh.shape[HOST_AXIS])
     sh, rep, Pn, K = shard_problem(prob, S, k_pad=n_host)
     poses, pts_blocked, inlier_blocked, cost = _run_sharded(
-        cam, rep, sh, mesh, iters, n_cg
+        cam, rep, sh, mesh, iters, n_cg, direct=(method == "direct")
     )
     points = pts_blocked.reshape(-1, 3)[:Pn]
 

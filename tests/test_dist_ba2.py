@@ -83,3 +83,23 @@ def test_ragged_points_and_fixed_cams(rng, mesh):
         np.asarray(res.poses)[2:, :, 3] - poses_true[2:, :, 3], axis=1
     )
     assert t_err.max() < 0.02
+
+
+def test_direct_and_cg_solvers_agree(rng, mesh):
+    """The direct dense-clique Schur solver (production, 2 collectives/LM
+    iter) and the matrix-free CG solver (large-K fallback) must converge
+    to the same solution on the same problem."""
+    prob, poses_true, X_true = make_ba_problem(rng, K=5, P=192)
+    rd = distributed_bundle_adjust_v2(TUM3, prob, mesh, iters=8,
+                                      method="direct")
+    rc = distributed_bundle_adjust_v2(TUM3, prob, mesh, iters=8, n_cg=30,
+                                      method="cg")
+    t_d = np.linalg.norm(np.asarray(rd.poses)[:, :, 3] - poses_true[:, :, 3],
+                         axis=1)
+    t_c = np.linalg.norm(np.asarray(rc.poses)[:, :, 3] - poses_true[:, :, 3],
+                         axis=1)
+    assert t_d.max() < 0.01, f"direct solver pose errors {t_d}"
+    assert t_c.max() < 0.01
+    # same final cost basin
+    assert float(rd.cost) <= float(rc.cost) * 1.2 + 1e-3
+    assert np.mean(np.asarray(rd.obs_inlier) == np.asarray(rc.obs_inlier)) > 0.95
