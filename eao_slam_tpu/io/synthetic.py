@@ -61,7 +61,18 @@ def _smooth_texture(rng: np.random.Generator, size: int = 512, octaves: int = 4)
     return (tex * 235.0 + 10.0).astype(np.float32)
 
 
-def _cuboid_quads(rng, center, size, tex_size=256):
+# per-face brightness multipliers for line-detection fixtures: real objects
+# present strong intensity steps across their silhouette/face edges (what
+# EDLines detects in the reference's Frame ctor, src/Frame.cc:324-335);
+# flat value-noise faces render cuboids whose edges no line detector can
+# see. Shaded faces also weaken/perturb the FAST corners on and around the
+# object (measured +16 cm bench ATE on the 60° arc), so shading is an
+# explicit OPT-IN for the line/yaw test scenes — the tracking/throughput
+# benchmark keeps uniform faces.
+FACE_SHADE_LINES = (0.85, 0.45, 1.0, 0.60)
+
+
+def _cuboid_quads(rng, center, size, tex_size=256, face_shade=None):
     cx, cy, cz = center
     sx, sy, sz = np.asarray(size) / 2.0
     quads = []
@@ -73,11 +84,7 @@ def _cuboid_quads(rng, center, size, tex_size=256):
         ([cx + sx, cy - sy, cz - sz], [0, 2 * sy, 0], [0, 0, 2 * sz]),   # right
         ([cx - sx, cy - sy, cz - sz], [0, 2 * sy, 0], [0, 0, 2 * sz]),   # left
     ]
-    # per-face brightness contrast: real objects present strong intensity
-    # steps across their silhouette/face edges (what EDLines detects in the
-    # reference's Frame ctor); flat value-noise faces would render cuboids
-    # whose edges no line detector can see
-    shade = [0.85, 0.45, 1.0, 0.60]
+    shade = face_shade if face_shade is not None else (1.0, 1.0, 1.0, 1.0)
     for (o, eu, ev), s in zip(faces, shade):
         quads.append(
             Quad(np.asarray(o, np.float64), np.asarray(eu, np.float64),
@@ -92,6 +99,7 @@ def make_room_scene(
     n_objects: int = 3,
     obj_size_range: tuple = (0.4, 0.9),
     obj_z_range: tuple = (3.2, 4.8),
+    face_shade: Optional[tuple] = None,
 ) -> Scene:
     """A 6x4x6 m room (y down, camera starts near origin looking at +z) with
     textured walls, floor, and a few cuboid 'objects' standing in it."""
@@ -122,7 +130,7 @@ def make_room_scene(
                       rng.uniform(*obj_z_range)])
         centers.append(c)
         sizes.append(size)
-        quads.extend(_cuboid_quads(rng, c, size))
+        quads.extend(_cuboid_quads(rng, c, size, face_shade=face_shade))
     centers = np.asarray(centers).reshape(-1, 3)
     sizes = np.asarray(sizes).reshape(-1, 3)
 

@@ -133,6 +133,10 @@ class LoopCloser:
     # ------------------------------------------------------------------
 
     def _covis_weights(self, tracker, slot: int) -> np.ndarray:
+        # chunked path (_LoopView) serves rows from one cached device
+        # covis matmul; the per-frame MonoTracker keeps the host loop
+        if hasattr(tracker, "covis_weights"):
+            return tracker.covis_weights(slot)
         cur = tracker.kf_pt_host[slot]
         cur_set = cur[cur >= 0]
         w = np.zeros((self.cfg.capacity.max_keyframes,), np.int64)
@@ -246,6 +250,8 @@ class LoopCloser:
 
         self._correct_loop(tracker, slot, cand, res.S12)
         self._fuse_loop_points(tracker, p1, p2, ok & res.inliers)
+        if hasattr(tracker, "invalidate_covis"):
+            tracker.invalidate_covis()  # fusion rewired observations
         # global BA over the fused, corrected map straightens the interior
         # of the chain (RunGlobalBundleAdjustment, src/LoopClosing.cc:642)
         self._global_ba(tracker, fixed_slot=cand)

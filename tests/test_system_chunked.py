@@ -39,7 +39,12 @@ def eao_cfg(flag=DemoFlag.EAO):
 
 @pytest.fixture(scope="module")
 def rendered_sequence():
-    scene = make_room_scene(seed=5, n_landmarks=200, n_objects=3)
+    from eao_slam_tpu.io.synthetic import FACE_SHADE_LINES
+
+    # shaded cuboid faces: the line-detection fixture (the FULL-mode test
+    # needs detectable object edges); tracking tolerates it on this 45° arc
+    scene = make_room_scene(seed=5, n_landmarks=200, n_objects=3,
+                            face_shade=FACE_SHADE_LINES)
     ts, gt = make_arc_trajectory(n_frames=36, sweep_deg=45.0)
     images = np.stack([render_image(scene, TUM3, T) for T in gt])
     boxes = [project_boxes(scene, TUM3, T, 8) for T in gt]
