@@ -244,6 +244,10 @@ def render_image(scene: Scene, cam, T_cw: np.ndarray, supersample: int = 1,
         ok = (tt > 1e-6) & (tt < best_t) & (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1)
         if not ok.any():
             continue
+        # rays parallel to the quad produce inf/nan barycentrics; they are
+        # ok-masked out of the shading but must not poison the gather below
+        a = np.where(np.isfinite(a), a, 0.0)
+        b = np.where(np.isfinite(b), b, 0.0)
         T = q.texture.shape[0]
         ta = np.clip(a * (T - 1), 0, T - 1.001)
         tb = np.clip(b * (T - 1), 0, T - 1.001)

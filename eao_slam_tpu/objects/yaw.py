@@ -191,9 +191,14 @@ def update_yaw(
     # winner = max count, count ties broken by lower mean yaw error, then
     # by proximity to 0 (the reference iterates 0° outward and keeps the
     # first maximum, src/Tracking.cc:2647-2650)
-    err_mean = errs / jnp.maximum(counts, 1.0)      # degrees, < 180
+    err_mean = errs / jnp.maximum(counts, 1.0)      # degrees
     tie = -1e-4 * jnp.abs(yaws)[None, :]
-    win = jnp.argmax(counts * 1e3 - err_mean + tie, axis=1)         # [B]
+    # lexicographic: count dominance must be exact — errs sums raw angle
+    # distances over up to max_lines lines, so err_mean can exceed any
+    # fixed count spacing; restrict the error/proximity tiebreak to the
+    # max-count samples instead of folding it into one weighted score
+    is_max = counts >= jnp.max(counts, axis=1, keepdims=True)
+    win = jnp.argmax(jnp.where(is_max, -err_mean + tie, -jnp.inf), axis=1)
     num = jnp.take_along_axis(counts, win[:, None], 1)[:, 0]
     e_win = jnp.take_along_axis(errs, win[:, None], 1)[:, 0]
     # num==0 fallback: one phantom vote with 10° error (src/Tracking.cc:2796)

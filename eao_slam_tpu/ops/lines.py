@@ -45,8 +45,11 @@ def detect_segments(
     scatter over tiles. A global accumulator lets long wall/floor
     boundaries crowd every short object edge out of the top-k (EDLines has
     no such bias: its pixel chains are local); per-tile peaks keep short
-    high-contrast segments competitive inside their own neighborhood, and
-    a merge pass (merge_collinear) re-joins edges that cross tile seams.
+    high-contrast segments competitive inside their own neighborhood. The
+    cost of tiling is that an edge crossing a 160x120 tile seam is
+    reported as two per-tile segments (each must clear min_len on its
+    own); downstream consumers that need joined lines can deduplicate
+    with merge_collinear, which this detector does not call.
     The edge threshold adapts per tile (max of grad_thresh and 1.5x the
     tile's mean gradient), mirroring EDLines' anchor thresholding, so
     dense texture speckle does not flood the vote space.
@@ -194,10 +197,11 @@ def merge_collinear(
     angle_tol_deg: float = 5.0,
     dist_tol: float = 20.0,
 ):
-    """Merge collinear nearby segments (merge_break_lines semantics,
+    """Drop collinear duplicates (merge_break_lines' absorption rule,
     src/detect_3d_cuboid/object_3d_util.cpp:349): one vectorized pass —
-    a segment absorbed by a longer collinear neighbor is dropped and the
-    survivor's endpoints expand."""
+    a segment collinear and close to a strictly longer neighbor is
+    invalidated, the longer survivor keeps its own endpoints (no
+    endpoint extension, unlike the reference's in-place merge)."""
     L = segs.shape[0]
     d = segs[:, 2:] - segs[:, :2]
     length = jnp.linalg.norm(d, axis=-1)

@@ -5,9 +5,10 @@ The front end is embarrassingly parallel across frames (SURVEY.md §2.3
 device extracts its shard with the full pyramid/FAST/BRIEF pipeline
 (ops/orb.py), and the fixed-shape feature arrays gather back to feed the
 sequential tracking scan (which is inherently serial in time and stays on
-one chip). On a v5e-8, extraction is ~22% of the chunk program
-(profile_bench.py), so sharding it is the natural first multi-chip split
-of the production tracker.
+one chip). Extraction is a significant, measurable fraction of the fused
+chunk program (run profile_bench.py on the target chip for the split), so
+sharding it is the natural first multi-chip split of the production
+tracker.
 """
 
 from __future__ import annotations

@@ -8,6 +8,16 @@ mesh, and run the whole LM solve as ONE jitted program — each device
 optimizes its shard of sequences in lockstep, no cross-device traffic
 except the implicit batch dispatch (sequences are independent; the
 intra-sequence sharded solver lives in parallel/dist_ba.py).
+
+Two granularities:
+  * `MultiSeqEngine` — FULL SLAM: S independent `ChunkedTracker`
+    sequences advanced by one vmapped fused extract+track chunk program
+    (the production program of runtime/scan_tracker.py), the ChunkCarry
+    pytree stacked along a sequence axis that shards across the mesh.
+    Between-chunk host passes (merge/maintenance/loop/reloc) run
+    per-sequence, exactly as each solo tracker would.
+  * `batch_bundle_adjust` — just the BA solves, for offline refinement
+    batches (the original shape).
 """
 
 from __future__ import annotations
@@ -69,3 +79,139 @@ def batch_bundle_adjust(
     for i in range(S):
         out.append(jax.tree.map(lambda x: x[i], res))
     return out
+
+
+# ---------------------------------------------------------------------------
+# full-SLAM multi-sequence batch (BASELINE.json configs[4])
+# ---------------------------------------------------------------------------
+
+SEQ_AXIS = "seq"
+
+
+def make_seq_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (SEQ_AXIS,))
+
+
+class MultiSeqEngine:
+    """Track S independent monocular sequences with ONE device program.
+
+    Each sequence is a normal `ChunkedTracker` (bootstrap per sequence on
+    the host path); once all are armed, `track_images` stacks the S
+    ChunkCarry pytrees along a leading sequence axis, constrains that axis
+    onto the mesh, and advances every sequence one chunk inside a single
+    jitted vmap of the production fused extract+track program. The
+    between-chunk host passes then run per sequence, so trajectories,
+    object tables, loop closing and relocalization behave exactly as S
+    solo trackers — the batch changes scheduling, not math.
+
+    This is the flagship multi-chip configuration of BASELINE.json
+    (configs[4]: several sequences at once, distributed across the mesh);
+    the reference processes one sequence per process
+    (Examples/Monocular/mono_tum.cc:52-133)."""
+
+    def __init__(self, cfg, n_seq: int, chunk: int = 32, mesh=None):
+        from eao_slam_tpu.runtime.scan_tracker import (
+            ChunkedTracker,
+            make_extract_track,
+        )
+
+        self.cfg = cfg
+        self.chunk = chunk
+        self.n_seq = n_seq
+        self.mesh = mesh if (mesh is not None
+                             and int(mesh.devices.size) > 1) else None
+        self.trackers = [ChunkedTracker(cfg, chunk=chunk)
+                         for _ in range(n_seq)]
+        inner = make_extract_track(cfg, self.trackers[0]._track_chunk)
+        self._objects_on = cfg.flag.objects_enabled
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            by_seq = NamedSharding(self.mesh,
+                                   PartitionSpec(self.mesh.axis_names[0]))
+
+            def constrain(tree):
+                return jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, by_seq),
+                    tree)
+        else:
+            def constrain(tree):
+                return tree
+
+        @jax.jit
+        def vstep(carries, *args):
+            carries = constrain(carries)
+            args = constrain(args)
+            return jax.vmap(inner)(carries, *args)
+
+        self._vstep = vstep
+
+    # -- per-sequence bootstrap (host path, like any solo tracker) --------
+
+    def bootstrap(self, s: int, image, timestamp: float, boxes=None) -> bool:
+        from eao_slam_tpu.runtime.frame import frame_from_image
+
+        kw = {}
+        if boxes is not None:
+            b, c, sc, v = boxes
+            kw = dict(boxes=b, box_class=c, box_score=sc, box_valid=v)
+        fr = frame_from_image(self.cfg, np.asarray(image, np.float32), **kw)
+        return self.trackers[s].bootstrap(fr, timestamp)
+
+    @property
+    def armed(self) -> bool:
+        return all(t.carry is not None for t in self.trackers)
+
+    # -- batched steady state --------------------------------------------
+
+    def _stack_carries(self):
+        return jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[t.carry for t in self.trackers])
+
+    def track_images(self, images_u8, timestamps, boxes=None, box_class=None,
+                     box_score=None, box_valid=None, sync=True):
+        """Advance every sequence one FULL chunk: images_u8 [S, C, H, W],
+        timestamps [S, C] (+ box arrays [S, C, B, ...] in object modes).
+        One dispatch; the between-chunk host passes run per-sequence after
+        it (skipped when sync=False — the bench's timed span defers them
+        exactly like the solo bench does)."""
+        assert self.armed, "bootstrap every sequence first"
+        S, C = np.asarray(timestamps).shape
+        assert S == self.n_seq and C == self.chunk
+        kf_before = [int(t.carry.kf_count) for t in self.trackers]
+        carries = self._stack_carries()
+        args = (jnp.asarray(images_u8),
+                jnp.asarray(np.asarray(timestamps, np.float32)))
+        if self._objects_on:
+            B = self.cfg.capacity.max_boxes
+            if boxes is None:
+                boxes = np.zeros((S, C, B, 4), np.float32)
+                box_class = np.full((S, C, B), -1, np.int32)
+                box_score = np.zeros((S, C, B), np.float32)
+                box_valid = np.zeros((S, C, B), bool)
+            args += (jnp.asarray(boxes), jnp.asarray(box_class),
+                     jnp.asarray(box_score), jnp.asarray(box_valid))
+        carries, outs = self._vstep(carries, *args)
+        self._scatter(carries)
+        if sync:
+            self._after_chunks(outs, timestamps, kf_before)
+        return outs
+
+    def _scatter(self, carries):
+        for s, t in enumerate(self.trackers):
+            t.carry = jax.tree.map(lambda x: x[s], carries)
+
+    def _after_chunks(self, outs, timestamps, kf_before):
+        for s, t in enumerate(self.trackers):
+            t._after_chunk(jax.tree.map(lambda x: x[s], outs),
+                           np.asarray(timestamps[s]), kf_before[s])
+
+    # -- per-sequence views ----------------------------------------------
+
+    def frame_trajectory(self, s: int):
+        return self.trackers[s].frame_trajectory()
+
+    def keyframe_trajectory(self, s: int):
+        return self.trackers[s].keyframe_trajectory()

@@ -262,10 +262,13 @@ def run_local_ba(
     fixed_slots: Sequence[int],
     scale2: np.ndarray,
     max_points: int,
+    solver=None,
 ) -> LocalBAResult:
     """Assemble a compact fixed-shape BAProblem for the keyframe window and
     run the 5+10 LM schedule (src/Optimizer.cc:459-796). Host does the slot
-    gather/remap; the solve is the jitted Schur LM in solvers/ba.py."""
+    gather/remap; the solve is the jitted Schur LM in solvers/ba.py by
+    default, or `solver(cam, prob) -> BAResult` when given (the mesh-parallel
+    engine passes the distributed dense-clique solver here)."""
     W = len(window_slots)
     ws = np.asarray(window_slots, np.int32)
     kf_pt = np.asarray(state.kf_pt_idx[ws])       # [W, F]
@@ -314,7 +317,7 @@ def run_local_ba(
         cam_valid=jnp.ones((W,), bool),
         pt_valid=jnp.asarray(pt_valid),
     )
-    res: BAResult = local_ba(cam, prob)
+    res: BAResult = (solver or local_ba)(cam, prob)
 
     inlier = np.asarray(res.obs_inlier).reshape(W, F)
     drop = obs_mask & ~inlier

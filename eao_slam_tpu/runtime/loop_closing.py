@@ -359,5 +359,6 @@ class LoopCloser:
         ba = run_local_ba(
             tracker.cam, tracker.map, slots, [fixed_slot],
             tracker.scale2_np, self.cfg.capacity.local_ba_points,
+            solver=getattr(tracker, "ba_solver", None),
         )
         tracker._apply_ba(ba)

@@ -703,7 +703,7 @@ def make_track_chunk(cfg: SystemConfig):
     return track_chunk
 
 
-def make_extract_track(cfg: SystemConfig, track_chunk):
+def make_extract_track(cfg: SystemConfig, track_chunk, mesh=None):
     """Fuse the ORB front end (and, in line-enabled modes, 2D segment
     detection) with the chunk tracking program: ONE jitted dispatch takes a
     chunk of raw grayscale images to poses/states. This is the production
@@ -711,6 +711,14 @@ def make_extract_track(cfg: SystemConfig, track_chunk):
     (src/Frame.cc:324-335) and EDLines line detection right after it; here
     both are vmapped stages of the same XLA program so extraction work,
     matching and BA fuse into a single device schedule.
+
+    With a `mesh`, extraction is data-parallel over the devices: the image
+    batch shards along its frame axis (every frame's pyramid/FAST/BRIEF
+    runs wholly on one device, so per-frame results are unchanged), the
+    feature arrays gather back to replicated, and the sequential tracking
+    scan runs replicated — SPMD's version of the reference's
+    extraction/tracking thread split (the multi-chip split of the
+    production tracker, parallel/frames.py).
 
     Returns one of two call signatures depending on the config:
       geometry modes:  fn(carry, images_u8, ts, active)
@@ -726,6 +734,25 @@ def make_extract_track(cfg: SystemConfig, track_chunk):
     L = cfg.capacity.max_lines
     if lines_on:
         from eao_slam_tpu.ops.lines import detect_segments
+
+    shard_frames = mesh is not None and int(mesh.devices.size) > 1
+    if shard_frames:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        by_frame = NamedSharding(mesh, PartitionSpec(mesh.axis_names))
+        replicated = NamedSharding(mesh, PartitionSpec())
+
+    def _shard(images_u8):
+        if shard_frames:
+            return jax.lax.with_sharding_constraint(images_u8, by_frame)
+        return images_u8
+
+    def _gather(tree):
+        if shard_frames:
+            return jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, replicated),
+                tree)
+        return tree
 
     def extract(im_u8):
         img = im_u8.astype(jnp.float32)
@@ -746,7 +773,7 @@ def make_extract_track(cfg: SystemConfig, track_chunk):
         @jax.jit
         def extract_track(carry, images_u8, timestamps,
                           bxs, bcls, bscore, bvalid, active=None):
-            feats, segs, sv = jax.vmap(extract)(images_u8)
+            feats, segs, sv = _gather(jax.vmap(extract)(_shard(images_u8)))
             batch = FrameBatch(
                 kp=feats.kp, desc=feats.desc, octave=feats.octave,
                 angle=feats.angle, valid=feats.valid, timestamp=timestamps,
@@ -757,7 +784,7 @@ def make_extract_track(cfg: SystemConfig, track_chunk):
     else:
         @jax.jit
         def extract_track(carry, images_u8, timestamps, active=None):
-            feats, _, _ = jax.vmap(extract)(images_u8)
+            feats, _, _ = _gather(jax.vmap(extract)(_shard(images_u8)))
             batch = FrameBatch(
                 kp=feats.kp, desc=feats.desc, octave=feats.octave,
                 angle=feats.angle, valid=feats.valid, timestamp=timestamps,
@@ -777,11 +804,26 @@ class ChunkedTracker:
     """Production-throughput tracker: host-side init via MonoTracker, then
     device-resident chunked tracking with one readback per chunk."""
 
-    def __init__(self, cfg: SystemConfig, chunk: int = 32):
+    def __init__(self, cfg: SystemConfig, chunk: int = 32, mesh=None):
         from eao_slam_tpu.runtime.tracker import MonoTracker
 
         self.cfg = cfg
         self.chunk = chunk
+        # optional device mesh: extraction shards over the frame axis
+        # (make_extract_track) and the between-chunk global BA after loop
+        # correction dispatches the distributed dense-clique Schur solver
+        # (parallel/dist_ba2.py) instead of the single-chip LM — the
+        # reference fronts its whole engine behind one facade
+        # (src/System.cc:41-154); so does the mesh-parallel engine here
+        self.mesh = mesh if (mesh is not None
+                             and int(mesh.devices.size) > 1) else None
+        self._ba_mesh = None
+        if self.mesh is not None:
+            from eao_slam_tpu.parallel.dist_ba2 import make_hd_mesh
+
+            devs = list(self.mesh.devices.flatten())
+            n_hosts = 2 if len(devs) >= 4 else 1
+            self._ba_mesh = make_hd_mesh(n_hosts, devs)
         self.inner = MonoTracker(cfg)
         self.carry: Optional[ChunkCarry] = None
         self._track_chunk = make_track_chunk(cfg)
@@ -883,7 +925,12 @@ class ChunkedTracker:
         assert self.carry is not None, "call bootstrap() until it returns True"
         kf_before = int(self.carry.kf_count)
         self.carry, outs = self._track_chunk(self.carry, batch)
-        return self._after_chunk(outs, np.asarray(batch.timestamp), kf_before)
+        # partial tail chunks pad timestamps to C; record only the active
+        # prefix so frame_trajectory() never sees the hold-state duplicates
+        ts = np.asarray(batch.timestamp)
+        if batch.active is not None:
+            ts = ts[: int(np.asarray(batch.active).sum())]
+        return self._after_chunk(outs, ts, kf_before)
 
     def track_images(self, images_u8, timestamps, boxes=None, box_class=None,
                      box_score=None, box_valid=None) -> ChunkOutputs:
@@ -894,7 +941,8 @@ class ChunkedTracker:
         program for every full chunk, one extra variant for tails."""
         assert self.carry is not None, "call bootstrap() until it returns True"
         if self._extract_track is None:
-            self._extract_track = make_extract_track(self.cfg, self._track_chunk)
+            self._extract_track = make_extract_track(
+                self.cfg, self._track_chunk, mesh=self.mesh)
         C = self.chunk
         n = int(np.asarray(images_u8).shape[0])
         assert 0 < n <= C, f"batch of {n} images vs chunk={C}"
@@ -972,7 +1020,10 @@ class ChunkedTracker:
         near capacity, cull redundant keyframes + dead points and compact
         both tables (runtime/compaction.py) so long sequences run at fixed
         capacity (the reference's KeyFrameCulling/point-culling role,
-        src/LocalMapping.cc:175,637-707)."""
+        src/LocalMapping.cc:175,637-707). Localization-only mode freezes
+        the map (mbOnlyTracking), so no culling/compaction either."""
+        if self._localization_only:
+            return
         from eao_slam_tpu.runtime.compaction import cull_and_compact
 
         c = self.carry
@@ -1111,6 +1162,29 @@ class ChunkedTracker:
     # -- MonoTracker-compatible views (System facade works over either) ---
 
     @property
+    def ba_solver(self):
+        """(cam, BAProblem) -> BAResult for the between-chunk global BA
+        (loop correction, runtime/loop_closing.py). Single-chip 5+10 Schur
+        LM by default; over a mesh, the same schedule through the
+        distributed dense-clique solver (parallel/dist_ba2.py) — keyframe
+        blocks on the host axis, point cliques on the device axis."""
+        if self._ba_mesh is None:
+            return None
+
+        from eao_slam_tpu.parallel.dist_ba2 import distributed_bundle_adjust_v2
+
+        def dist_local_ba(cam, prob):
+            res1 = distributed_bundle_adjust_v2(cam, prob, self._ba_mesh,
+                                                iters=5)
+            prob2 = prob._replace(
+                poses=res1.poses, points=res1.points,
+                obs_valid=prob.obs_valid & res1.obs_inlier)
+            return distributed_bundle_adjust_v2(cam, prob2, self._ba_mesh,
+                                                iters=10)
+
+        return dist_local_ba
+
+    @property
     def armed(self) -> bool:
         return self.carry is not None
 
@@ -1192,6 +1266,8 @@ class _LoopView:
         self.velocity = None
         self.last_pt = None
         self._covis_cache = None
+        # distributed global-BA dispatch rides through the view
+        self.ba_solver = chunked.ba_solver
 
     def covis_matrix(self) -> np.ndarray:
         from eao_slam_tpu.runtime.compaction import make_covis

@@ -43,11 +43,23 @@ class System:
 
     def __init__(self, config: Optional[SystemConfig] = None,
                  flag: DemoFlag | str = DemoFlag.NONE,
-                 chunked: bool = True, chunk: int = 32):
+                 chunked: bool = True, chunk: int = 32, mesh=None):
+        """mesh: optional jax.sharding.Mesh (or the string "auto" to build
+        one over every visible device). With >1 device the engine itself
+        goes mesh-parallel: chunk extraction shards over the frame axis and
+        the loop-correction global BA dispatches the distributed
+        dense-clique Schur solver (runtime/scan_tracker.py:ba_solver)."""
         self.cfg = config if config is not None else tum3_config(flag)
         self.chunked = chunked
+        if mesh == "auto":
+            import jax
+
+            from eao_slam_tpu.parallel.frames import make_frame_mesh
+
+            devs = jax.devices()
+            mesh = make_frame_mesh(devs) if len(devs) > 1 else None
         if chunked:
-            self.tracker = ChunkedTracker(self.cfg, chunk=chunk)
+            self.tracker = ChunkedTracker(self.cfg, chunk=chunk, mesh=mesh)
             self.tracker.compaction_listeners.append(self._on_compaction)
         else:
             self.tracker = MonoTracker(self.cfg)

@@ -1,0 +1,111 @@
+"""Full-SLAM multi-sequence batch (parallel/multi_seq.MultiSeqEngine):
+S independent sequences advanced by ONE vmapped fused extract+track
+program, sequence axis sharded over the mesh — BASELINE.json configs[4]
+('multi-sequence distributed batch'), which round 4 only had for BA
+problems, not SLAM.
+
+Correctness bar: the batch changes scheduling, not math — every
+per-sequence trajectory must match the same sequence tracked solo."""
+
+import jax
+import numpy as np
+import pytest
+
+from eao_slam_tpu.config import CapacityConfig, OrbConfig, TrackingConfig, tum3_config
+from eao_slam_tpu.geometry.camera import Camera
+from eao_slam_tpu.io.synthetic import (
+    make_arc_trajectory,
+    make_room_scene,
+    render_image,
+)
+from eao_slam_tpu.parallel.multi_seq import MultiSeqEngine, make_seq_mesh
+from eao_slam_tpu.runtime.frame import frame_from_image
+from eao_slam_tpu.runtime.scan_tracker import ChunkedTracker
+
+OK = 2
+CHUNK = 8
+
+CAM = Camera(fx=120.0, fy=120.0, cx=80.0, cy=60.0,
+             width=160, height=120, fps=30.0)
+
+
+def tiny_cfg():
+    """160x120 camera so the whole suite-entry compiles in seconds (the
+    same profile __graft_entry__._dryrun_engine_chunk validates)."""
+    return tum3_config().replace(
+        camera=CAM,
+        orb=OrbConfig(n_features=128, n_features_init=256, n_levels=4),
+        tracking=TrackingConfig(min_init_matches=40, min_tracked_for_ok=15,
+                                min_matches_motion=12, min_matches_ref_kf=10,
+                                min_inliers_after_pose=8),
+        capacity=CapacityConfig(max_keyframes=16, max_points=1024,
+                                max_features=128, local_ba_points=256,
+                                grid_cols=16, grid_rows=12),
+    )
+
+
+@pytest.fixture(scope="module")
+def sequences():
+    """Two distinct scenes/trajectories (different seeds and sweeps)."""
+    out = []
+    for seed, sweep in ((5, 50.0), (9, 40.0)):
+        scene = make_room_scene(seed=seed, n_landmarks=100, n_objects=2)
+        ts, gt = make_arc_trajectory(n_frames=8 + 2 * CHUNK, sweep_deg=sweep)
+        imgs = np.stack([render_image(scene, CAM, T) for T in gt])
+        out.append((ts, gt, imgs))
+    return out
+
+
+def _bootstrap(tracker, ts, imgs):
+    cfg = tracker.cfg
+    i = 0
+    while i < len(imgs) and tracker.carry is None:
+        tracker.bootstrap(
+            frame_from_image(cfg, np.asarray(imgs[i], np.float32)),
+            float(ts[i]))
+        i += 1
+    assert tracker.carry is not None
+    return i
+
+
+def test_multi_seq_engine_matches_solo(sequences):
+    cfg = tiny_cfg()
+    S = len(sequences)
+
+    # solo runs (the reference semantics)
+    solo = []
+    for ts, gt, imgs in sequences:
+        t = ChunkedTracker(cfg, chunk=CHUNK)
+        i = _bootstrap(t, ts, imgs)
+        while i + CHUNK <= len(imgs):
+            t.track_images(imgs[i:i + CHUNK], ts[i:i + CHUNK])
+            i += CHUNK
+        assert int(t.carry.state) == OK
+        solo.append(t.frame_trajectory())
+
+    # batched run over the mesh
+    mesh = make_seq_mesh(jax.devices()[:2]) if jax.device_count() >= 2 else None
+    eng = MultiSeqEngine(cfg, n_seq=S, chunk=CHUNK, mesh=mesh)
+    starts = []
+    for s, (ts, gt, imgs) in enumerate(sequences):
+        starts.append(_bootstrap(eng.trackers[s], ts, imgs))
+    assert eng.armed
+    # all sequences bootstrap within the pre-chunk budget on this fixture
+    i0 = max(starts)
+    for s, start in enumerate(starts):
+        assert start == i0, "fixture drift: unequal bootstrap lengths"
+    n = min(len(seq[0]) for seq in sequences)
+    i = i0
+    while i + CHUNK <= n:
+        eng.track_images(
+            np.stack([seq[2][i:i + CHUNK] for seq in sequences]),
+            np.stack([seq[0][i:i + CHUNK] for seq in sequences]),
+        )
+        i += CHUNK
+
+    for s in range(S):
+        assert int(eng.trackers[s].carry.state) == OK
+        ts_b, T_b = eng.frame_trajectory(s)
+        ts_s, T_s = solo[s]
+        np.testing.assert_array_equal(ts_b, ts_s)
+        np.testing.assert_allclose(T_b, T_s, atol=1e-5)
