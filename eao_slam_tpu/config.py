@@ -140,7 +140,12 @@ class MappingConfig:
     local_ba_kf_window: int = 16
     local_ba_iters_first: int = 5
     local_ba_iters_second: int = 10
-    triangulation_neighbors: int = 3  # ref uses 20 covisible KFs for mono (src/LocalMapping.cc:218)
+    # top-N covisible neighbors for new-KF triangulation (ref uses 20
+    # covisible KFs for mono, src/LocalMapping.cc:218; here the scan's
+    # 8-keyframe recency window bounds the candidate set). Default 2 ==
+    # the long-standing measured production setting; the r5 breadth sweep
+    # on the real chip is recorded next to the bench (bench.py docstring).
+    triangulation_neighbors: int = 2
     min_covis_weight: int = 10
     # per-round inner-iteration counts of the motion-only pose LM; one
     # chi2-5.991 re-classification between rounds (solvers/pose_lm.py)

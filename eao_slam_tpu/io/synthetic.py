@@ -100,9 +100,14 @@ def make_room_scene(
     obj_size_range: tuple = (0.4, 0.9),
     obj_z_range: tuple = (3.2, 4.8),
     face_shade: Optional[tuple] = None,
+    closed_room: bool = False,
 ) -> Scene:
     """A 6x4x6 m room (y down, camera starts near origin looking at +z) with
-    textured walls, floor, and a few cuboid 'objects' standing in it."""
+    textured walls, floor, and a few cuboid 'objects' standing in it.
+    closed_room adds the front wall (z=0) so 360-degree orbit trajectories
+    (make_orbit_trajectory — the loop-closure benchmark) always face
+    texture; the default keeps the open room so existing fixtures render
+    byte-identically."""
     rng = np.random.default_rng(seed)
     quads = []
     # back wall at z=6, x in [-3,3], y in [-2,2]
@@ -117,6 +122,10 @@ def make_room_scene(
     # right wall x=3
     quads.append(Quad(np.array([3.0, -2.0, 0.0]), np.array([0, 4.0, 0]),
                       np.array([0, 0, 6.0]), _smooth_texture(rng, 1024)))
+    if closed_room:
+        # front wall z=0 (behind the default camera start)
+        quads.append(Quad(np.array([-3.0, -2.0, 0.0]), np.array([6.0, 0, 0]),
+                          np.array([0, 4.0, 0]), _smooth_texture(rng, 1024)))
 
     # objects: cuboids at table height (lifted off the floor so their
     # boxes project inside the image instead of hugging the bottom edge)
@@ -196,6 +205,43 @@ def make_arc_trajectory(
              radius * (1.0 - np.cos(ang[i])) * 0.3]
         )
         poses[i] = look_at(eye, target)
+    return ts, poses
+
+
+def make_orbit_trajectory(
+    n_frames: int,
+    radius: float = 2.2,
+    center=(0.0, 0.0, 3.0),
+    orbits: float = 1.0,
+    bob: float = 0.12,
+    fps: float = 30.0,
+):
+    """Camera on a horizontal circle about the room center, always
+    fixating it — the loop-closure benchmark trajectory (use with
+    make_room_scene(closed_room=True) so the background is textured from
+    every heading). This is make_arc_trajectory's proven fixating motion
+    extended to a full revolution: the camera starts near the front wall
+    looking at +z and sweeps the whole room.
+
+    After a revolution the camera re-observes its starting view with a
+    revolution's worth of accumulated mono drift; through the middle of
+    the orbit it views the scene from the opposite side against the
+    opposite wall, so the early keyframes drop out of the covisibility
+    graph — the precondition DetectLoop's covisible-exclusion gate needs
+    before it may propose a loop candidate (src/LoopClosing.cc:103-229).
+    (An outward-looking orbit variant was measured and rejected: with the
+    view tangent to the new-scene frontier, matchable map support falls
+    below the OK threshold ~40 degrees in at every tested profile.)
+    Returns (timestamps [N], T_cw [N, 3, 4])."""
+    center = np.asarray(center, np.float64)
+    ts = np.arange(n_frames, dtype=np.float64) / fps
+    th = np.linspace(0.0, 2.0 * np.pi * orbits, n_frames)
+    poses = np.zeros((n_frames, 3, 4))
+    for i in range(n_frames):
+        eye = center + np.array([radius * np.sin(th[i]),
+                                 bob * np.sin(5.0 * th[i]),
+                                 -radius * np.cos(th[i])])
+        poses[i] = look_at(eye, center)
     return ts, poses
 
 

@@ -96,3 +96,133 @@ def load_checkpoint(path: str, tracker) -> dict:
                 kf_signature(tracker.map.kf_desc[s], tracker.map.kf_kp_valid[s])
             )
     return meta
+
+
+# ---------------------------------------------------------------------------
+# production (chunked) engine checkpoint: the full ChunkCarry + host state
+# ---------------------------------------------------------------------------
+
+CHUNKED_VERSION = 2
+
+
+def save_chunked_checkpoint(path: str, tracker, kf_images: dict = None) -> None:
+    """Serialize a ChunkedTracker mid-sequence: the whole device ChunkCarry
+    (map, object table, motion model, last-frame block, allocator counters),
+    the host trajectory records, and the loop-closer's signatures /
+    consistency streaks — everything needed to resume tracking exactly
+    where it stopped. Optionally embeds the System's retained keyframe
+    images so the offline semi-dense phase survives the round trip.
+
+    The reference's System::SaveMap/LoadMap are TODO stubs
+    (include/System.h:115-117); SoA state makes real persistence one
+    np.savez of the pytree."""
+    import json as _json
+
+    c = tracker.carry
+    assert c is not None, "nothing to checkpoint: tracker not armed"
+    arrays = {}
+    for k, v in c._asdict().items():
+        if k == "m":
+            arrays.update({f"m_{f}": np.asarray(x)
+                           for f, x in v._asdict().items()})
+        elif k == "table":
+            arrays.update({f"t_{f}": np.asarray(x)
+                           for f, x in v._asdict().items()})
+        else:
+            arrays[f"c_{k}"] = np.asarray(v)
+    if kf_images:
+        arrays["kf_image_slots"] = np.asarray(sorted(kf_images), np.int32)
+        arrays["kf_images"] = np.stack(
+            [np.asarray(kf_images[s], np.float32)
+             for s in sorted(kf_images)])
+
+    lc = tracker.loop_closer
+    if lc is not None:
+        arrays["lc_signatures"] = lc.signatures
+    meta = {
+        "version": CHUNKED_VERSION,
+        "flag": tracker.cfg.flag.value,
+        "chunk": tracker.chunk,
+        "records": [
+            [float(t), None if T is None else np.asarray(T).tolist(), int(s)]
+            for t, T, s in tracker.records
+        ],
+        "last_kf_slots": [[int(i), int(s)] for i, s in tracker.last_kf_slots],
+        "n_maintenance": int(tracker.n_maintenance),
+        "loop_checked": int(tracker._loop_checked),
+        "localization_only": bool(tracker._localization_only),
+        "loop_rng": np.asarray(tracker._loop_rng).tolist(),
+        "lc_streaks": (
+            [[list(g), int(n)] for g, n in lc.consistent_streak.items()]
+            if lc is not None else []
+        ),
+        "lc_last_loop_order": int(lc.last_loop_order) if lc is not None else -999,
+        "lc_closed_loops": int(lc.closed_loops) if lc is not None else 0,
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, chunked_meta=_json.dumps(meta), **arrays)
+    os.replace(tmp, path)
+
+
+def load_chunked_checkpoint(path: str, tracker) -> dict:
+    """Restore a chunked checkpoint into an armed-or-fresh ChunkedTracker
+    of the SAME config capacities. Tracking resumes exactly (state, motion
+    model and last-frame block restored) — not via relocalization.
+    Returns (meta dict, kf_images dict)."""
+    import json as _json
+
+    import jax
+
+    from eao_slam_tpu.runtime.scan_tracker import ChunkCarry
+
+    data = np.load(path, allow_pickle=False)
+    if "chunked_meta" not in data:
+        raise ValueError("not a chunked checkpoint (see load_checkpoint)")
+    meta = _json.loads(str(data["chunked_meta"]))
+    if meta["version"] != CHUNKED_VERSION:
+        raise ValueError(f"chunked checkpoint v{meta['version']} unsupported")
+    if meta["flag"] != tracker.cfg.flag.value:
+        raise ValueError(
+            f"checkpoint flag {meta['flag']} != config {tracker.cfg.flag.value}")
+
+    from eao_slam_tpu.objects.state import ObjectTable
+
+    m = MapState(**{f: jnp.asarray(data[f"m_{f}"]) for f in MapState._fields})
+    table = ObjectTable(
+        **{f: jnp.asarray(data[f"t_{f}"]) for f in ObjectTable._fields})
+    kw = {}
+    for k in ChunkCarry._fields:
+        if k == "m":
+            kw[k] = m
+        elif k == "table":
+            kw[k] = table
+        else:
+            kw[k] = jnp.asarray(data[f"c_{k}"])
+    tracker.carry = ChunkCarry(**kw)
+    tracker.kf_count_host = int(data["c_kf_count"])
+    tracker.pt_count_host = int(data["c_pt_count"])
+    tracker.state_host = int(data["c_state"])
+    tracker.records = [
+        (t, None if T is None else np.asarray(T, np.float32), s)
+        for t, T, s in meta["records"]
+    ]
+    tracker.last_kf_slots = [tuple(x) for x in meta["last_kf_slots"]]
+    tracker.n_maintenance = meta["n_maintenance"]
+    tracker._loop_checked = meta["loop_checked"]
+    tracker._localization_only = meta["localization_only"]
+    tracker._loop_rng = jnp.asarray(
+        np.asarray(meta["loop_rng"], np.uint32))
+    if tracker.loop_closer is not None and "lc_signatures" in data:
+        lc = tracker.loop_closer
+        lc.signatures = data["lc_signatures"].copy()
+        lc.consistent_streak = {
+            tuple(g): n for g, n in meta["lc_streaks"]
+        }
+        lc.last_loop_order = meta["lc_last_loop_order"]
+        lc.closed_loops = meta["lc_closed_loops"]
+    kf_images = {}
+    if "kf_image_slots" in data:
+        for j, s in enumerate(data["kf_image_slots"]):
+            kf_images[int(s)] = data["kf_images"][j]
+    return meta, kf_images

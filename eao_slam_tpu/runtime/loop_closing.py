@@ -120,15 +120,17 @@ class LoopCloser:
         if order - self.last_loop_order < 10 or order < 10:
             return False
 
-        cand = self._detect(tracker, slot, order)
-        if cand is None:
-            return False
-        ok = self._verify_and_correct(tracker, slot, cand)
-        if ok:
-            self.last_loop_order = order
-            self.closed_loops += 1
-            self.consistent_streak.clear()
-        return ok
+        cands = self._detect(tracker, slot, order)
+        # verification is the discriminative filter: try every consistent
+        # candidate in score order (the reference runs ComputeSim3 over the
+        # whole candidate vector too, src/LoopClosing.cc:231-260)
+        for cand in cands:
+            if self._verify_and_correct(tracker, slot, cand):
+                self.last_loop_order = order
+                self.closed_loops += 1
+                self.consistent_streak.clear()
+                return True
+        return False
 
     # ------------------------------------------------------------------
 
@@ -147,14 +149,15 @@ class LoopCloser:
             w[s] = np.isin(cur_set, other[other >= 0]).sum()
         return w
 
-    def _detect(self, tracker, slot: int, order: int) -> Optional[int]:
+    def _detect(self, tracker, slot: int, order: int) -> List[int]:
         """DetectLoop: score gate + 3-consecutive-keyframe consistency.
         Uses the BoW vocabulary database when the tracker has one
-        (KeyFrameDatabase::DetectLoopCandidates), the codebook-free
-        signature scoring otherwise."""
+        (KeyFrameDatabase::DetectLoopCandidates), tf-idf-weighted
+        signature scoring otherwise. Returns the consistent candidates in
+        score order (possibly several — verification disambiguates)."""
         covis = self._covis_weights(tracker, slot)
         recent = set(tracker.kf_slots[-8:])
-        best_cand = None
+        scored: list = []       # (score, slot), filtered candidates
 
         if tracker.kfdb is not None and tracker.vocab is not None:
             from eao_slam_tpu.ops import bow
@@ -170,44 +173,64 @@ class LoopCloser:
                 min_score = 0.15
             cands = tracker.kfdb.detect_loop_candidates(
                 q, covis, full_covis, min_score, slot)
-            for s in cands:
-                if s not in recent and tracker.kf_valid_host[s]:
-                    best_cand = s
-                    break
+            scored = [(1.0 - 1e-3 * i, s) for i, s in enumerate(cands)
+                      if s not in recent and tracker.kf_valid_host[s]]
         else:
-            scores = self.signatures[: self.cfg.capacity.max_keyframes] @ self.signatures[slot]
+            # tf-idf weighting (DBoW2's scoring model, src/KeyFrame-
+            # Database.cc / DBoW2 TemplatedVocabulary): the raw
+            # byte-position histograms share a strong global component
+            # (every scene has similar byte statistics), which saturates
+            # plain cosine scores; down-weighting ubiquitous words by
+            # log(N/df) restores the discriminative margin
+            K = self.cfg.capacity.max_keyframes
+            docs = [s for s in tracker.kf_slots if tracker.kf_valid_host[s]]
+            sigs = self.signatures[:K]
+            df = (sigs[docs] > 0).sum(axis=0)
+            idf = np.log(max(len(docs), 2) / (1.0 + df))
+            idf = np.maximum(idf, 0.0)
+            w = sigs * idf[None, :]
+            norms = np.linalg.norm(w, axis=1)
+            w = w / np.maximum(norms, 1e-9)[:, None]
+            scores = w @ w[slot]
             # minimum acceptable score = worst score among covisible neighbors
             neigh = covis >= 15
             min_score = float(scores[neigh].min()) if neigh.any() else 0.3
-            min_score = max(min_score, 0.15)
+            min_score = max(min_score, 0.05)
 
-            best_score = 0.0
             for s in tracker.kf_slots:
                 if s == slot or s in recent or not tracker.kf_valid_host[s]:
                     continue
                 if covis[s] > 0:            # connected -> not a loop
                     continue
-                if scores[s] >= min_score and scores[s] > best_score:
-                    best_cand, best_score = s, float(scores[s])
+                if scores[s] >= min_score:
+                    scored.append((float(scores[s]), s))
+            scored.sort(reverse=True)
+            scored = scored[:5]
 
-        if best_cand is None:
+        if not scored:
             self.consistent_streak.clear()
-            return None
+            return []
 
-        # temporal consistency (the reference's consistency groups): the
-        # same candidate neighborhood must fire on 3 consecutive keyframes
-        cand_covis = self._covis_weights(tracker, best_cand)
-        group = {best_cand} | {
-            s for s in tracker.kf_slots if cand_covis[s] >= 15
-        }
-        streak = 1
-        for prev_group, prev_streak in self.consistent_streak.items():
-            if group & set(prev_group):
-                streak = max(streak, prev_streak + 1)
-        self.consistent_streak = {tuple(sorted(group)): streak}
-        if streak < 3:
-            return None
-        return best_cand
+        # temporal consistency (the reference's consistency groups): a
+        # candidate's covisible neighborhood must intersect a group seen on
+        # consecutive keyframes 3 times before verification may run
+        new_streaks: dict = {}
+        consistent: list = []
+        for score, cand in scored:
+            cand_covis = self._covis_weights(tracker, cand)
+            group = {cand} | {
+                s for s in tracker.kf_slots if cand_covis[s] >= 15
+            }
+            streak = 1
+            for prev_group, prev_streak in self.consistent_streak.items():
+                if group & set(prev_group):
+                    streak = max(streak, prev_streak + 1)
+            g = tuple(sorted(group))
+            new_streaks[g] = max(streak, new_streaks.get(g, 0))
+            if streak >= 3:
+                consistent.append(cand)
+        self.consistent_streak = new_streaks
+        return consistent
 
     # ------------------------------------------------------------------
 

@@ -85,6 +85,12 @@ class ChunkOutputs(NamedTuple):
     state: jnp.ndarray     # [C]
     n_inliers: jnp.ndarray  # [C]
     is_kf: jnp.ndarray     # [C] bool
+    # allocator counters AFTER each frame: ride the per-chunk readback so
+    # the between-chunk host passes never pull device scalars (each
+    # int(carry.kf_count) is a full device->host sync — the dominant cost
+    # of the between-chunk span on high-latency links)
+    kf_count: jnp.ndarray  # [C] i32
+    pt_count: jnp.ndarray  # [C] i32
 
 
 class FrameBatch(NamedTuple):
@@ -280,7 +286,11 @@ def make_chunk_step(cfg: SystemConfig):
     cap = cfg.capacity
     W = mcfg.local_ba_kf_window
     Pl = cap.local_ba_points
-    n_tri_neighbors = min(2, mcfg.triangulation_neighbors)
+    # top-N covisible triangulation neighbors out of the 8-KF recency
+    # window (the reference searches its 20 best-covisible KFs for mono,
+    # src/LocalMapping.cc:214-218; the recency window bounds the on-device
+    # candidate set). Config-driven since r5 — measured curve in config.py.
+    n_tri_neighbors = min(8, mcfg.triangulation_neighbors)
     objects_on = cfg.flag.objects_enabled
     yaw_on = cfg.flag.use_yaw_lines
 
@@ -413,7 +423,8 @@ def make_chunk_step(cfg: SystemConfig):
         def skip_frame(carry):
             # padded tail slot: carry untouched, output a hold-state record
             out = (carry.T_last, carry.state,
-                   jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+                   jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+                   carry.kf_count, carry.pt_count)
             return carry, out
 
         def live_frame(carry):
@@ -585,7 +596,8 @@ def make_chunk_step(cfg: SystemConfig):
             obj_key=obj_key,
             allow_kf=carry.allow_kf,
         )
-        out = (T_out, new_carry.state, n2, need_kf)
+        out = (T_out, new_carry.state, n2, need_kf,
+               new_carry.kf_count, new_carry.pt_count)
         return new_carry, out
 
     return step
@@ -830,6 +842,12 @@ class ChunkedTracker:
         self._extract_track = None  # built lazily by track_images
         self.records: list = []   # (timestamp, T 3x4 np or None, state)
         self.n_maintenance = 0    # cull+compact passes run (observability)
+        # host mirrors of the carry's scalars, fed by each chunk's readback
+        # (ChunkOutputs.kf_count/pt_count/state) so the between-chunk passes
+        # cost ZERO extra device->host syncs on their early-return paths
+        self.kf_count_host = 0
+        self.pt_count_host = 0
+        self.state_host = LOST
         self.last_kf_slots: list = []  # (chunk frame idx, slot) of last chunk
         # listeners called with (kf_remap, pt_remap) np arrays after every
         # cull+compact pass, so host-side per-slot state (retained keyframe
@@ -891,6 +909,9 @@ class ChunkedTracker:
             obj_key=obj_key,
             allow_kf=jnp.asarray(not self._localization_only),
         )
+        self.kf_count_host = len(t.kf_slots)
+        self.pt_count_host = t.n_points
+        self.state_host = OK
 
     # -- mode switches ----------------------------------------------------
 
@@ -923,7 +944,7 @@ class ChunkedTracker:
     def track_batch(self, batch: FrameBatch) -> ChunkOutputs:
         """Track one chunk of frames; a single device round trip."""
         assert self.carry is not None, "call bootstrap() until it returns True"
-        kf_before = int(self.carry.kf_count)
+        kf_before = self.kf_count_host
         self.carry, outs = self._track_chunk(self.carry, batch)
         # partial tail chunks pad timestamps to C; record only the active
         # prefix so frame_trajectory() never sees the hold-state duplicates
@@ -962,7 +983,7 @@ class ChunkedTracker:
             act = np.zeros((C,), bool)
             act[:n] = True
             active = jnp.asarray(act)
-        kf_before = int(self.carry.kf_count)
+        kf_before = self.kf_count_host
         if objects_on:
             B = self.cfg.capacity.max_boxes
             if boxes is None:
@@ -983,6 +1004,13 @@ class ChunkedTracker:
         """Shared post-chunk host work: record poses, assign keyframe slots,
         then the between-chunk passes (object merge, maintenance, loop
         closing, relocalization)."""
+        host = self._record_chunk(outs, ts, kf_before)
+        self._between_chunk_passes()
+        return host
+
+    def _record_chunk(self, outs, ts, kf_before: int) -> ChunkOutputs:
+        """Record poses + assign this chunk's keyframe slots (slot ids are
+        the monotonic allocator: kf_before + running is_kf count)."""
         host = jax.device_get(outs)
         self.last_kf_slots = []
         n_kf = 0
@@ -994,11 +1022,17 @@ class ChunkedTracker:
             if i < len(ts) and bool(host.is_kf[i]):
                 self.last_kf_slots.append((i, kf_before + n_kf))
                 n_kf += 1
+        last = len(ts) - 1
+        self.kf_count_host = int(host.kf_count[last])
+        self.pt_count_host = int(host.pt_count[last])
+        self.state_host = int(host.state[last])
+        return host
+
+    def _between_chunk_passes(self):
         self._maybe_merge_objects()
         self._maybe_maintain()
         self._maybe_close_loops()
         self._maybe_relocalize()
-        return host
 
     def _maybe_merge_objects(self):
         """Chunk-rate object merge/overlap resolution on the production
@@ -1031,8 +1065,8 @@ class ChunkedTracker:
         P = c.m.pt_pos.shape[0]
         kf_headroom = max(8, self.chunk // 2)
         pt_headroom = 3 * self.cfg.capacity.max_features
-        if (int(c.kf_count) <= K - kf_headroom
-                and int(c.pt_count) <= P - pt_headroom):
+        if (self.kf_count_host <= K - kf_headroom
+                and self.pt_count_host <= P - pt_headroom):
             return
         res = cull_and_compact(
             c.m, c.kf_count, c.pt_count, n_levels=self.cfg.orb.n_levels,
@@ -1047,6 +1081,8 @@ class ChunkedTracker:
             m=res.m, kf_count=res.kf_count, pt_count=res.pt_count,
             last_pt=last_pt,
         )
+        self.kf_count_host = int(res.kf_count)
+        self.pt_count_host = int(res.pt_count)
         self.n_maintenance += 1
         # remap per-slot host state through the compaction instead of
         # resetting it: loop-closer signatures + consistency streaks
@@ -1074,7 +1110,7 @@ class ChunkedTracker:
         signature, brute-match the best candidates and recover the pose
         with EPnP RANSAC; on success the carry re-arms in OK state."""
         c = self.carry
-        if c is None or int(c.state) != LOST:
+        if c is None or self.state_host != LOST:
             return
         from eao_slam_tpu.ops import matching as mops
         from eao_slam_tpu.runtime.loop_closing import kf_signature
@@ -1082,7 +1118,7 @@ class ChunkedTracker:
         from eao_slam_tpu.ops.orb import scale_sigma2
 
         m = c.m
-        n = int(c.kf_count)
+        n = self.kf_count_host
         if n == 0:
             return
         P = m.pt_pos.shape[0]
@@ -1123,6 +1159,7 @@ class ChunkedTracker:
                 last_pt=last_pt,
                 state=jnp.asarray(OK, jnp.int32),
             )
+            self.state_host = OK
             return
 
     def _maybe_close_loops(self):
@@ -1133,7 +1170,7 @@ class ChunkedTracker:
         motion model rebases on the newest keyframe's corrected pose."""
         if self.loop_closer is None or self.carry is None:
             return
-        n = int(self.carry.kf_count)
+        n = self.kf_count_host
         if n <= self._loop_checked:
             return
         view = _LoopView(self)
@@ -1190,7 +1227,7 @@ class ChunkedTracker:
 
     @property
     def state(self) -> int:
-        return int(self.carry.state) if self.armed else self.inner.state
+        return self.state_host if self.armed else self.inner.state
 
     @property
     def map(self):
@@ -1200,7 +1237,7 @@ class ChunkedTracker:
     def kf_slots(self):
         if not self.armed:
             return self.inner.kf_slots
-        return list(range(int(self.carry.kf_count)))
+        return list(range(self.kf_count_host))
 
     @property
     def kf_valid_host(self):
@@ -1256,7 +1293,7 @@ class _LoopView:
             scale_sigma2(chunked.cfg.orb.n_levels, chunked.cfg.orb.scale_factor)
         )
         self.rng_key = chunked._loop_rng
-        self.kf_slots = list(range(int(carry.kf_count)))
+        self.kf_slots = list(range(chunked.kf_count_host))
         self.kf_valid_host = np.asarray(carry.m.kf_valid)
         self.kf_pt_host = np.array(np.asarray(carry.m.kf_pt_idx))
         self.pt_valid_host = np.array(np.asarray(carry.m.pt_valid))

@@ -263,6 +263,35 @@ class System:
         self.tracker.set_localization_mode(False)
 
     # ------------------------------------------------------------------
+    # checkpoint / resume (SURVEY.md §5: real persistence where the
+    # reference has only TODO stubs, include/System.h:115-117)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        """Serialize the production engine mid-sequence: the full device
+        ChunkCarry (map, objects, motion model, allocators), trajectory
+        records, loop-closer state, and the retained keyframe images for
+        the offline semi-dense phase. Pending chunk buffers flush first."""
+        assert self.chunked, "checkpointing covers the chunked engine"
+        self.flush()
+        from eao_slam_tpu.runtime.checkpoint import save_chunked_checkpoint
+
+        save_chunked_checkpoint(path, self.tracker, kf_images=self._kf_images)
+
+    def load_checkpoint(self, path: str) -> dict:
+        """Restore a checkpoint into this System (same config capacities).
+        Tracking resumes exactly where the save left off — state, motion
+        model and last-frame block included."""
+        assert self.chunked, "checkpointing covers the chunked engine"
+        from eao_slam_tpu.runtime.checkpoint import load_chunked_checkpoint
+
+        meta, kf_images = load_chunked_checkpoint(path, self.tracker)
+        self._kf_images = kf_images
+        self._img_buf = []
+        self._frame_buf = []
+        return meta
+
+    # ------------------------------------------------------------------
 
     def shutdown(self, semidense: bool = True):
         """Offline phase (the ProbabilityMapping thread's run-after-tracking

@@ -52,6 +52,11 @@ def test_chunked_loop_pass_corrects_drift(rng):
 
     chunked = ChunkedTracker(cfg, chunk=4)
     chunked.carry = _carry_from_tracker(host, cfg)
+    # carry surgery must keep the host mirrors coherent (production code
+    # feeds them through _record_chunk)
+    chunked.kf_count_host = n
+    chunked.pt_count_host = int(host.pt_valid_host.sum())
+    chunked.state_host = 2
     assert chunked.loop_closer is not None
 
     # end-pose error before

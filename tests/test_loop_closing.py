@@ -242,5 +242,5 @@ class TestLoopCorrection:
         # prime the consistency streak as if the two previous keyframes had
         # already seen this candidate group
         lc.consistent_streak = {(0, 1): 2}
-        cand = lc._detect(tracker, slot=n - 1, order=n - 1)
-        assert cand == 0
+        cands = lc._detect(tracker, slot=n - 1, order=n - 1)
+        assert 0 in cands, cands

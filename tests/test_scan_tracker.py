@@ -139,6 +139,9 @@ def test_between_chunk_relocalization(sequence):
         last_valid=fr.valid,
         last_pt=jnp.full((cfg.capacity.max_features,), -1, jnp.int32),
     )
+    # carry surgery must keep the host mirrors coherent (production code
+    # updates them through _record_chunk)
+    tracker.state_host = LOST
     tracker._maybe_relocalize()
     assert int(tracker.carry.state) == 2, "relocalization failed"
     # recovered pose is near this frame's ground truth AFTER sim3-aligning
