@@ -144,9 +144,11 @@ def make_room_scene(
     sizes = np.asarray(sizes).reshape(-1, 3)
 
     # feature-level landmarks: most on walls, clusters inside each object
+    # (closed rooms sample the front wall too, so the feature-level sim
+    # covers every orbit heading)
     lm, lm_obj = [], []
     n_bg = max(n_landmarks - 60 * n_objects, 16)
-    wall_pick = rng.integers(0, 4, n_bg)
+    wall_pick = rng.integers(0, 5 if closed_room else 4, n_bg)
     u = rng.uniform(0.02, 0.98, n_bg)
     v = rng.uniform(0.02, 0.98, n_bg)
     for i in range(n_bg):

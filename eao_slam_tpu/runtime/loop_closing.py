@@ -239,7 +239,12 @@ class LoopCloser:
         cfg = self.cfg
         P = cfg.capacity.max_points
 
-        # brute descriptor match between the two keyframes' mapped features
+        # stage 1 — seed hypothesis: brute descriptor match between the two
+        # keyframes' mapped features + Sim3 RANSAC. The seed gate is LOWER
+        # than the reference's 20 because large mono scale drift (the very
+        # thing a loop must fix — measured 9x over a full orbit) shifts
+        # pyramid levels and appearance enough that the direct match set is
+        # thin; stage 2 grows it back before the real 20-inlier gate.
         pt1 = m.kf_pt_idx[slot]
         pt2 = m.kf_pt_idx[cand]
         q_valid = m.kf_kp_valid[slot] & (pt1 >= 0)
@@ -249,30 +254,50 @@ class LoopCloser:
             max_dist=matching.TH_LOW, ratio=0.75,
         )
         n_matches = int(jnp.sum(ok))
-        if n_matches < 20:
+        if n_matches < 12:
             return False
 
+        scale2 = jnp.asarray(tracker.scale2_np)
         p1 = jnp.clip(pt1, 0, P - 1)
         p2 = jnp.clip(pt2[idx], 0, P - 1)
         T1 = m.kf_pose[slot]
         T2 = m.kf_pose[cand]
         xc1 = se3.apply(T1, m.pt_pos[p1])
         xc2 = se3.apply(T2, m.pt_pos[p2])
-        s2_1 = jnp.asarray(tracker.scale2_np)[jnp.clip(m.kf_octave[slot], 0, 7)]
-        s2_2 = jnp.asarray(tracker.scale2_np)[jnp.clip(m.kf_octave[cand], 0, 7)][idx]
+        s2_1 = scale2[jnp.clip(m.kf_octave[slot], 0, 7)]
+        s2_2 = scale2[jnp.clip(m.kf_octave[cand], 0, 7)][idx]
 
         tracker.rng_key, sub = jax.random.split(tracker.rng_key)
-        res = solve_sim3_ransac(self.cam, xc1, xc2, ok, s2_1, s2_2, sub)
+        res = solve_sim3_ransac(self.cam, xc1, xc2, ok, s2_1, s2_2, sub,
+                                n_hyp=512, min_inliers=8)
         if not bool(res.success):
             return False
+
+        # stage 2 — SearchBySim3 (src/ORBmatcher.cc:1155 role): project the
+        # candidate's map points into the current keyframe under the seed
+        # Sim3 and grow the correspondence set by windowed descriptor NN;
+        # then the full 5+10 Sim3 optimization with the reference's
+        # 20-inlier acceptance gate
+        g_idx, g_ok = self._search_by_sim3(m, slot, cand, res.S12)
+        p1g = pt1[g_idx]                       # slot-side point per cand j
+        pair_ok = g_ok & (pt2 >= 0) & (p1g >= 0)
+        if int(jnp.sum(pair_ok)) < 20:
+            return False
+        xc1g = se3.apply(T1, m.pt_pos[jnp.clip(p1g, 0, P - 1)])
+        xc2g = se3.apply(T2, m.pt_pos[jnp.clip(pt2, 0, P - 1)])
+        s2_1g = scale2[jnp.clip(m.kf_octave[slot], 0, 7)][g_idx]
+        s2_2g = scale2[jnp.clip(m.kf_octave[cand], 0, 7)]
         res = optimize_sim3_schedule(
-            self.cam, res.S12, xc1, xc2, ok & res.inliers, 1.0 / s2_1, 1.0 / s2_2
+            self.cam, res.S12, xc1g, xc2g, pair_ok,
+            1.0 / s2_1g, 1.0 / s2_2g,
         )
         if int(res.n_inliers) < 20:
             return False
 
         self._correct_loop(tracker, slot, cand, res.S12)
-        self._fuse_loop_points(tracker, p1, p2, ok & res.inliers)
+        self._fuse_loop_points(tracker, jnp.clip(p1g, 0, P - 1),
+                               jnp.clip(pt2, 0, P - 1),
+                               pair_ok & res.inliers)
         if hasattr(tracker, "invalidate_covis"):
             tracker.invalidate_covis()  # fusion rewired observations
         # global BA over the fused, corrected map straightens the interior
@@ -282,6 +307,31 @@ class LoopCloser:
         tracker.velocity = None
         tracker.last_pt = jnp.asarray(tracker.kf_pt_host[tracker.kf_slots[-1]])
         return True
+
+    def _search_by_sim3(self, m, slot: int, cand: int, S12):
+        """Grow loop correspondences under a seed Sim3: candidate map
+        points project into the current keyframe through S12 and match
+        current mapped features by windowed descriptor NN (SearchBySim3,
+        src/ORBmatcher.cc:1155-1280). No octave gate — Sim3 closure exists
+        BECAUSE scale drifted, which shifts pyramid levels arbitrarily.
+        Returns (idx [F] slot-feature per cand-feature, ok [F])."""
+        from eao_slam_tpu.geometry.camera import project
+
+        P = m.pt_pos.shape[0]
+        pt1 = m.kf_pt_idx[slot]
+        pt2 = m.kf_pt_idx[cand]
+        X2c = se3.apply(m.kf_pose[cand], m.pt_pos[jnp.clip(pt2, 0, P - 1)])
+        X_in1 = sim3.apply(S12, X2c)
+        uv = project(self.cam, X_in1)
+        q_valid = m.kf_kp_valid[cand] & (pt2 >= 0) & (X_in1[:, 2] > 0.05)
+        t_valid = m.kf_kp_valid[slot] & (pt1 >= 0)
+        dist = matching.hamming_matrix(m.kf_desc[cand], m.kf_desc[slot])
+        mask = matching.window_mask(uv, m.kf_kp[slot],
+                                    jnp.float32(15.0), q_valid, t_valid)
+        idx, d, ok = matching.match_nn(dist, mask,
+                                       max_dist=matching.TH_HIGH, ratio=0.9)
+        ok = matching.resolve_duplicate_cols(idx, d, ok, pt1.shape[0])
+        return idx, ok
 
     def _fuse_loop_points(self, tracker, p1, p2, inlier):
         """Replace the current side's duplicated points with the loop side's

@@ -163,7 +163,7 @@ def _insert_point_rows(m: MapState, slot, nb_slot, tri, pt_count, scale_factors)
 
 
 def _window_ba(cam, m: MapState, kf_count, W, Pl, scale2, iters=None,
-               drop_outliers=True, n_fixed=1):
+               drop_outliers=True, n_fixed=1, n_frontier=0):
     """Fixed-shape on-device windowed BA: compact the last-W keyframe window's
     point set with a sort-based unique, run the 5+10 LM schedule
     (src/Optimizer.cc:459-796), scatter results back.
@@ -178,10 +178,22 @@ def _window_ba(cam, m: MapState, kf_count, W, Pl, scale2, iters=None,
     K, F = m.kf_pt_idx.shape
     P = m.pt_pos.shape[0]
 
-    # window = last W insertion orders (monotonic allocator => orders == slots)
-    first = jnp.maximum(kf_count - W, 0)
-    win = jnp.clip(first + jnp.arange(W), 0, K - 1)            # [W]
-    win_valid = (first + jnp.arange(W)) < kf_count
+    # window = last W insertion orders (monotonic allocator => orders ==
+    # slots), optionally PLUS the n_frontier keyframes immediately before
+    # it as FIXED cameras with their observations — the reference's
+    # lFixedCameras (src/Optimizer.cc:496-514). A mono window BA anchored
+    # by ONE fixed pose leaves the 7th gauge dof (scale) free — measured
+    # ~9x compounded scale leakage over the 432-frame orbit circuit — but
+    # anchoring to a rigid frontier was ALSO measured to collapse tracking
+    # on exploratory trajectories (the frontier's accumulated error stops
+    # the window from relaxing; inliers decay 202->38 within 60 frames on
+    # the same circuit, CPU and TPU alike). Default stays frontier-free:
+    # exploration robustness wins, and loop closing owns global scale.
+    W = W + n_frontier
+    first = jnp.maximum(kf_count - W + n_frontier, 0)
+    orders = first - n_frontier + jnp.arange(W)
+    win = jnp.clip(orders, 0, K - 1)                           # [W]
+    win_valid = (orders >= 0) & (orders < kf_count)
 
     kf_pt = m.kf_pt_idx[win]                                   # [W, F]
     obs_mask = (kf_pt >= 0) & m.kf_kp_valid[win] & win_valid[:, None]
@@ -223,7 +235,10 @@ def _window_ba(cam, m: MapState, kf_count, W, Pl, scale2, iters=None,
     # shared points also have out-of-window observations drifts the whole
     # recent block's gauge if only one camera is anchored (measured 5.3 ->
     # 9.2 cm bench ATE), so the older half acts as the frontier.
-    fixed = jnp.arange(W) < n_fixed
+    if n_frontier:
+        fixed = (orders < first) | (orders < n_fixed)
+    else:
+        fixed = jnp.arange(W) < n_fixed
 
     prob = BAProblem(
         poses=m.kf_pose[win],

@@ -236,6 +236,37 @@ class System:
         if self._frame_buf:
             self._flush_frames()
 
+    def current_pose(self, extrapolate: bool = True):
+        """Latest pose estimate NOW, without waiting for a chunk boundary.
+
+        The reference returns a pose every frame (src/System.cc:246); the
+        chunked engine emits poses when a chunk dispatches, so an online
+        consumer polling mid-buffer gets the newest tracked pose — by
+        default extrapolated through the engine's constant-velocity motion
+        model for the frames still sitting in the accumulation buffer
+        (exactly the prediction the chunk program itself will start from).
+        Returns (timestamp, T_cw [3,4]) or None before initialization."""
+        tr = self.tracker
+        if not self.chunked:   # per-frame path already returns every pose
+            T = getattr(tr, "last_T", None)
+            return None if T is None else (None, np.asarray(T))
+        recs = [(t, T) for t, T, s in tr.records if T is not None]
+        if not recs:
+            return None
+        t_last, T_last = recs[-1]
+        n_buf = len(self._img_buf) + len(self._frame_buf)
+        if (not extrapolate or n_buf == 0 or not tr.armed
+                or tr.state != OK):
+            return t_last, np.asarray(T_last)
+        from eao_slam_tpu.geometry import se3
+
+        vel = np.asarray(tr.carry.velocity)
+        T = np.asarray(tr.carry.T_last)
+        for _ in range(n_buf):
+            T = np.asarray(se3.compose(vel, T))
+        buf = self._img_buf or self._frame_buf
+        return float(buf[-1][1]), T
+
     # ------------------------------------------------------------------
     # mode switches (System::TrackMonocular preamble, src/System.cc:254-286)
     # ------------------------------------------------------------------

@@ -112,14 +112,17 @@ def test_system_full_flag_lines_drive_yaw_and_exports(rendered_sequence,
     votes = hist[valid][..., 0]
     assert votes.sum() > 0, "yaw sampling saw no line evidence"
 
-    # supported objects elect a yaw inside the scheme's match plateau
-    # around the GT 0 yaw (the reference's exclude-shortest-edge scoring
-    # is ~±1 sample precise on dominant edges and plateau-wide on clutter;
-    # see tests/test_lines_yaw.py)
+    # supported objects elect a yaw within ±2 samples of the best
+    # achievable one: the 30-sample grid over ±45° has no 0° sample (the
+    # nearest are ±1.55°), so for the GT 0-yaw cuboids the tightest
+    # possible election is 1.55° and a ±2-sample tolerance admits 7.8°
+    # (the reference resolves to its 3° grid the same way,
+    # src/Tracking.cc:2661). Measured on this fixture: the engine elects
+    # -7.8°/-4.7° — the r4 plateau-wide ±27° gate is retired.
     elected = np.asarray(table.yaw)[valid]
     supported = votes.sum(axis=1) >= 3.0
     if supported.any():
-        assert np.abs(elected[supported]).max() <= np.deg2rad(27.0), (
+        assert np.abs(elected[supported]).max() <= np.deg2rad(8.0), (
             np.rad2deg(elected[supported]))
 
     # FULL offline chain from the chunked carry: keyframe images were
