@@ -142,9 +142,15 @@ class MappingConfig:
     local_ba_iters_second: int = 10
     # top-N covisible neighbors for new-KF triangulation (ref uses 20
     # covisible KFs for mono, src/LocalMapping.cc:218; here the scan's
-    # 8-keyframe recency window bounds the candidate set). Default 2 ==
-    # the long-standing measured production setting; the r5 breadth sweep
-    # on the real chip is recorded next to the bench (bench.py docstring).
+    # 8-keyframe recency window bounds the candidate set). Sensitivity
+    # measured on the real chip, bench arc, 4 timed chunks, same gates
+    # (r5): N=2 270.7 fps / 3.94 cm sim3 ATE; N=4 228.2 fps / 3.65 cm;
+    # N=8 170.8 fps / 6.07 cm. N=4's 0.3 cm gain is inside the arc's
+    # ~2 cm noise band while costing 16% throughput, and N=8 actively
+    # hurts (each extra neighbor is a smaller-baseline pair whose noisy
+    # triangulations the BA then has to reject) — so 2 stays the
+    # default. Exploratory trajectories that outrun the recency window
+    # (the loop-closure circuit) measured best at 4.
     triangulation_neighbors: int = 2
     min_covis_weight: int = 10
     # per-round inner-iteration counts of the motion-only pose LM; one

@@ -96,10 +96,20 @@ def detect_segments(
     r_bin = jnp.clip(((rho + tile_diag) / RHO_BIN).astype(jnp.int32),
                      0, n_rho - 1)
 
+    # vote accumulation as ONE-HOT MATMULS, not scatter-adds: a [theta]
+    # one-hot (gated by the edge mask) against a [rho] one-hot contracts
+    # the pixel axis on the MXU. The scatter formulation (.at[].add over
+    # 614k pixel votes/frame) serializes on TPU and measured 43 ms/frame
+    # inside the fused chunk program — the entire FULL-mode slowdown.
     def tile_acc(tb, rb, st):
-        return jnp.zeros((N_THETA, n_rho), jnp.float32).at[
-            tb.reshape(-1), rb.reshape(-1)
-        ].add(st.reshape(-1).astype(jnp.float32))
+        tb = tb.reshape(-1)
+        rb = rb.reshape(-1)
+        stf = st.reshape(-1)
+        oh_t = ((tb[None, :] == jnp.arange(N_THETA)[:, None]) & stf[None, :]
+                ).astype(jnp.float32)                           # [Nt, px]
+        oh_r = (rb[:, None] == jnp.arange(n_rho)[None, :]
+                ).astype(jnp.float32)                           # [px, Nr]
+        return oh_t @ oh_r
 
     acc = jax.vmap(tile_acc)(t_bin, r_bin, strong)              # [T, Nt, Nr]
 
@@ -145,8 +155,10 @@ def detect_segments(
         s = -xs * sn + ys * c
         sb = jnp.clip(((s + tile_diag) * s_scale).astype(jnp.int32),
                       0, SBINS - 1)
-        occ = jnp.zeros((SBINS,), bool).at[sb.reshape(-1)].max(
-            inlier.reshape(-1))
+        # occupancy via a one-hot contraction (same MXU-vs-scatter
+        # rationale as the vote accumulator above)
+        occ = (((sb.reshape(-1)[None, :] == jnp.arange(SBINS)[:, None])
+                & inlier.reshape(-1)[None, :]).sum(axis=1)) > 0
         occ_d = occ
         for _ in range(2):  # close gaps up to ~2 bins (~6 px)
             occ_d = occ_d | jnp.roll(occ_d, 1) | jnp.roll(occ_d, -1)

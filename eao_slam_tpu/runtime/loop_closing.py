@@ -350,8 +350,10 @@ class LoopCloser:
         kf_pt = jnp.where(live, remap[jnp.clip(kf_pt, 0, P - 1)], kf_pt)
         pt_valid = m.pt_valid.at[src].set(False, mode="drop")
         tracker.map = m._replace(kf_pt_idx=kf_pt, pt_valid=pt_valid)
-        tracker.kf_pt_host = np.asarray(tracker.map.kf_pt_idx)
-        tracker.pt_valid_host = np.asarray(pt_valid)
+        # np.array (copy): np.asarray of a jax array is a READ-ONLY view,
+        # and _apply_ba writes these mirrors in place
+        tracker.kf_pt_host = np.array(np.asarray(tracker.map.kf_pt_idx))
+        tracker.pt_valid_host = np.array(np.asarray(pt_valid))
 
     def _correct_loop(self, tracker, slot: int, cand: int, S12):
         """CorrectLoop: essential-graph optimization + point re-anchoring +
@@ -429,9 +431,16 @@ class LoopCloser:
         from eao_slam_tpu.runtime.local_mapping import run_local_ba
 
         slots = [s for s in tracker.kf_slots if tracker.kf_valid_host[s]]
+        # the loop-time GBA is global: give it the full point capacity,
+        # not the windowed-BA budget — straightening the whole chain with
+        # only a quarter of the map free leaves the interior bent
+        # (RunGlobalBundleAdjustment optimizes every map point,
+        # src/LoopClosing.cc:642, src/Optimizer.cc:45-120)
         ba = run_local_ba(
             tracker.cam, tracker.map, slots, [fixed_slot],
-            tracker.scale2_np, self.cfg.capacity.local_ba_points,
+            tracker.scale2_np,
+            max(self.cfg.capacity.local_ba_points,
+                self.cfg.capacity.max_points),
             solver=getattr(tracker, "ba_solver", None),
         )
         tracker._apply_ba(ba)

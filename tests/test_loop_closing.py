@@ -244,3 +244,27 @@ class TestLoopCorrection:
         lc.consistent_streak = {(0, 1): 2}
         cands = lc._detect(tracker, slot=n - 1, order=n - 1)
         assert 0 in cands, cands
+
+
+def test_verify_succeeds_under_large_scale_drift(rng):
+    """The r5 two-stage verification (seed Sim3 RANSAC + SearchBySim3
+    growth, src/ORBmatcher.cc:1155 role) must still close when the loop
+    ends differ by ~2x scale — the regime where the r4 single-shot
+    20-match gate starved (large mono scale drift thins direct descriptor
+    matches; measured on the orbit circuit)."""
+    tracker, T_true, T_est = build_drifted_loop_tracker(rng, drift_mag=3.0)
+    lc = tracker.loop_closer
+    n = len(T_true)
+    est0 = np.asarray(tracker.map.kf_pose)[tracker.kf_slots]
+    end_before = np.linalg.norm(
+        -est0[n - 1][:3, :3].T @ est0[n - 1][:3, 3]
+        - (-T_true[n - 1][:3, :3].T @ T_true[n - 1][:3, 3]))
+
+    ok = lc._verify_and_correct(tracker, slot=n - 1, cand=0)
+    assert ok, "verification must survive ~1.9x scale drift"
+
+    est1 = np.asarray(tracker.map.kf_pose)[tracker.kf_slots]
+    end_after = np.linalg.norm(
+        -est1[n - 1][:3, :3].T @ est1[n - 1][:3, 3]
+        - (-T_true[n - 1][:3, :3].T @ T_true[n - 1][:3, 3]))
+    assert end_after < 0.15 * end_before, (end_before, end_after)
