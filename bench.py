@@ -325,10 +325,7 @@ def _loop_closure_numbers():
     )
     from eao_slam_tpu.io.trajectory import ate_rmse
     from eao_slam_tpu.runtime.frame import frame_from_arrays
-    from eao_slam_tpu.runtime.scan_tracker import (
-        ChunkedTracker,
-        batch_from_frames,
-    )
+    from eao_slam_tpu.system import System
 
     cfg = tum3_config().replace(
         capacity=CapacityConfig(max_keyframes=128, max_points=8192,
@@ -342,25 +339,21 @@ def _loop_closure_numbers():
               for i in range(CIRCUIT_FRAMES)]
 
     def run(loop_on, chunk=8):
-        tracker = ChunkedTracker(cfg, chunk=chunk)
+        # through the PUBLIC facade (System::TrackMonocular's feature-level
+        # seam): buffering, chunk dispatch, between-chunk passes and the
+        # exports are exactly what a user of the reference would touch
+        sysm = System(cfg, chunk=chunk)
+        tracker = sysm.tracker
         if not loop_on:
             tracker.loop_closer = None
-        i = 0
-        while i < CIRCUIT_FRAMES and tracker.carry is None:
+        for i in range(CIRCUIT_FRAMES):
             o = frames[i]
-            tracker.bootstrap(
+            sysm.track_frame(
                 frame_from_arrays(cfg, kp=o["kp"], desc=o["desc"],
                                   octave=o["octave"], valid=o["valid"]),
                 float(ts[i]))
-            i += 1
-        assert tracker.carry is not None, "circuit bootstrap failed"
-        while i + chunk <= CIRCUIT_FRAMES:
-            fs = [frame_from_arrays(
-                cfg, kp=frames[j]["kp"], desc=frames[j]["desc"],
-                octave=frames[j]["octave"], valid=frames[j]["valid"])
-                for j in range(i, i + chunk)]
-            tracker.track_batch(batch_from_frames(fs, ts[i:i + chunk]))
-            i += chunk
+        sysm.flush()
+        assert tracker.armed, "circuit bootstrap failed"
         et, eT = tracker.frame_trajectory()
         idx = [int(np.argmin(np.abs(ts - t))) for t in et]
         online = ate_rmse(_centers(eT), _centers(gt[idx]), with_scale=True)

@@ -78,6 +78,60 @@ def pair_stats(m: MapState, table: ObjectTable):
     return overlaps, overlap, iou3d, vol, member_count
 
 
+@jax.jit
+def merge_stats_packed(m: MapState, table: ObjectTable) -> jnp.ndarray:
+    """Everything the host merge decisions read, as ONE flat f32 vector —
+    one device->host sync per between-chunk merge pass instead of the ~12
+    separate array pulls the unpacked form costs (each readback is a full
+    link round trip; the merge pass dominated the measured between-chunk
+    sync count)."""
+    overlaps, overlap, iou3d, vol, member_count = pair_stats(m, table)
+    valid = table.valid & ~table.bad
+    f32 = jnp.float32
+    return jnp.concatenate([
+        overlaps.astype(f32).ravel(),
+        overlap.astype(f32).ravel(),
+        iou3d.astype(f32).ravel(),
+        table.co_occur.astype(f32).ravel(),
+        table.re_obj.astype(f32).ravel(),
+        vol.astype(f32),
+        member_count.astype(f32),
+        valid.astype(f32),
+        table.n_obs.astype(f32),
+        table.cls.astype(f32),
+        table.center.astype(f32).ravel(),
+        (table.center + table.cub_min).astype(f32).ravel(),
+        (table.center + table.cub_max).astype(f32).ravel(),
+    ])
+
+
+def _unpack_merge_stats(flat: np.ndarray, J: int):
+    """Host-side unpack of merge_stats_packed's layout."""
+    o = [0]
+
+    def take(*shape):
+        n = int(np.prod(shape))
+        out = flat[o[0]:o[0] + n].reshape(shape)
+        o[0] += n
+        return out
+
+    ov_np = take(J, J) > 0.5
+    ovl = take(J, J, 3)
+    iou_np = take(J, J)
+    co = take(J, J)
+    re = take(J, J)
+    vol_np = take(J)
+    nmem = take(J)
+    valid = take(J) > 0.5
+    n_obs = take(J).astype(np.int64)
+    cls = take(J).astype(np.int64)
+    center = take(J, 3)
+    cmin = take(J, 3)
+    cmax = take(J, 3)
+    return ov_np, ovl, iou_np, co, re, vol_np, nmem, valid, n_obs, cls, \
+        center, cmin, cmax
+
+
 @partial(jax.jit, static_argnames=())
 def apply_object_edits(
     m: MapState,
@@ -177,23 +231,12 @@ def apply_object_edits(
 # ---------------------------------------------------------------------------
 
 def run_merge_pass(m: MapState, table: ObjectTable):
-    """Full keyframe-rate pass; returns (map_state, table)."""
-    overlaps, overlap, iou3d, vol, member_count = pair_stats(m, table)
-    ov_np = np.asarray(overlaps)
-    ovl = np.asarray(overlap)
-    iou_np = np.asarray(iou3d)
-    vol_np = np.asarray(vol)
-    nmem = np.asarray(member_count)
-    valid = np.asarray(table.valid) & ~np.asarray(table.bad)
-    n_obs = np.asarray(table.n_obs)
-    cls = np.asarray(table.cls)
-    co = np.asarray(table.co_occur)
-    re = np.asarray(table.re_obj)
-    center = np.asarray(table.center)
-    cmin = center + np.asarray(table.cub_min)
-    cmax = center + np.asarray(table.cub_max)
-
+    """Full keyframe-rate pass; returns (map_state, table). All decision
+    inputs arrive through merge_stats_packed — ONE readback."""
     J = table.capacity
+    (ov_np, ovl, iou_np, co, re, vol_np, nmem, valid, n_obs, cls,
+     center, cmin, cmax) = _unpack_merge_stats(
+        np.asarray(merge_stats_packed(m, table)), J)
     merges: List[Tuple[int, int]] = []
     evicts: List[Tuple[int, np.ndarray, np.ndarray]] = []
     kill = np.zeros((J,), bool)

@@ -189,7 +189,8 @@ class MultiSeqEngine:
         exactly like the solo bench does)."""
         assert self.armed, "bootstrap every sequence first"
         S, C = np.asarray(timestamps).shape
-        assert S == self.n_seq and C == self.chunk
+        assert S == self.n_seq and C == self.chunk, (
+            f"batch [{S},{C}] vs n_seq={self.n_seq}, chunk={self.chunk}")
         if self._carries is None:
             self._kf_base = [t.kf_count_host for t in self.trackers]
             self._carries = self._stack_carries()

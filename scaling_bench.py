@@ -231,6 +231,12 @@ def multi_seq_slam_rows():
     def run_batch(n_seq, mesh):
         eng = MultiSeqEngine(cfg, n_seq=n_seq, chunk=CHUNK, mesh=mesh)
         starts = [boot(eng.trackers[s], *seqs[s]) for s in range(n_seq)]
+        n_frames = len(seqs[0][0])
+        if max(starts) + (1 + N_TIMED) * CHUNK > n_frames:
+            # backend numerics shifted a bootstrap past the chunk budget
+            # (seeds are tuned on the CPU backend) — skip rather than
+            # measure a truncated window
+            return None, False
 
         def chunk_args(k):
             return (
@@ -268,7 +274,22 @@ def multi_seq_slam_rows():
         mesh8 = make_seq_mesh(jax.devices("cpu")[:8])
         fps8, ok8 = run_batch(8, mesh8)
     assert ok1 and ok8b and ok8, "multi-seq scaling run lost tracking"
+    # real-chip batching economics: the same solo and 8-sequence vmapped
+    # programs on the accelerator (the per-chip number a pod multiplies)
+    accel = {}
+    devs, platform = compute_devices()
+    if platform != "cpu":
+        with jax.default_device(devs[0]):
+            fps1_t, ok1t = run_batch(1, None)
+            fps8_t, ok8t = (run_batch(8, None) if ok1t else (None, False))
+        if ok1t and ok8t:
+            accel = {
+                f"{platform}_solo_tracked_frames_per_s": round(fps1_t, 1),
+                f"{platform}_batched8_tracked_frames_per_s": round(fps8_t, 1),
+                f"{platform}_batching_gain": round(fps8_t / fps1_t, 2),
+            }
     return {
+        **accel,
         "profile": "160x120 / 128 feats / 4 levels (CPU-host compile size)",
         "chunk": CHUNK,
         "timed_chunks": N_TIMED,
@@ -285,8 +306,9 @@ def multi_seq_slam_rows():
                  "busy-wait on 2 physical cores, so its wall time measures "
                  "host thrash, not the framework (each real TPU device has "
                  "its own compute). The 1-device vmap row shows the actual "
-                 "batching economics: 8 sequences cost ~4.5x one sequence "
-                 "=> ~1.8x aggregate throughput per chip."),
+                 "batching economics: 8 sequences cost 4.5-7x one sequence "
+                 "across runs => 1.15-1.8x aggregate throughput per device "
+                 "on this noisy 2-core host."),
         "modeled": False,
         "measured": True,
     }
