@@ -109,13 +109,17 @@ class LoopCloser:
                 int(upto.max()) if (upto >= 0).any() else -999
             )
 
-    def on_keyframe(self, tracker, slot: int) -> bool:
+    def on_keyframe(self, tracker, slot: int, signature=None) -> bool:
         """Run detection (+ correction on success) for a new keyframe.
-        Returns True if a loop was closed (map rewritten)."""
-        m = tracker.map
-        self.signatures[slot] = np.asarray(
-            kf_signature(m.kf_desc[slot], m.kf_kp_valid[slot])
-        )
+        Returns True if a loop was closed (map rewritten). `signature`
+        lets the chunked path hand in a batch-computed signature (one
+        device readback per chunk instead of one per keyframe)."""
+        if signature is None:
+            m = tracker.map
+            signature = np.asarray(
+                kf_signature(m.kf_desc[slot], m.kf_kp_valid[slot])
+            )
+        self.signatures[slot] = signature
         order = len(tracker.kf_slots) - 1
         if order - self.last_loop_order < 10 or order < 10:
             return False

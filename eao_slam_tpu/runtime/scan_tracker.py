@@ -1189,9 +1189,23 @@ class ChunkedTracker:
         if n <= self._loop_checked:
             return
         view = _LoopView(self)
+        # batch-compute the new keyframes' signatures in ONE dispatch +
+        # ONE readback (per-keyframe kf_signature calls cost a round trip
+        # each; with several keyframes per chunk they dominated the loop
+        # pass's measured sync count). Fixed [chunk]-shaped gather so the
+        # program never re-specializes on the keyframe count.
+        from eao_slam_tpu.runtime.loop_closing import kf_signature
+
+        m = self.carry.m
+        K = m.kf_pose.shape[0]
+        slots = np.minimum(self._loop_checked + np.arange(self.chunk), K - 1)
+        sig_batch = np.asarray(jax.vmap(kf_signature)(
+            m.kf_desc[jnp.asarray(slots)], m.kf_kp_valid[jnp.asarray(slots)]))
         closed = False
         for order in range(self._loop_checked, n):
-            if self.loop_closer.on_keyframe(view, order):
+            sig = sig_batch[order - self._loop_checked] \
+                if order - self._loop_checked < self.chunk else None
+            if self.loop_closer.on_keyframe(view, order, signature=sig):
                 closed = True
         self._loop_checked = n
         self._loop_rng = view.rng_key
