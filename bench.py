@@ -218,10 +218,13 @@ def _run_mode(cfg, data, n_timed_chunks: int, with_boxes: bool):
         carry, outs = extract_track(carry, *chunk_args(i))
         jax.block_until_ready((carry, outs))
         tracker.carry = carry
-        tracker._maybe_merge_objects()
-        tracker._maybe_maintain()
-        tracker._maybe_close_loops()
-        tracker._maybe_relocalize()
+        # production bookkeeping order: _record_chunk feeds the host
+        # mirrors (kf/pt/state) the between-chunk passes read — skipping
+        # it would leave them at bootstrap values, so the passes the
+        # warmup exists to warm would early-return on stale counts
+        tracker._record_chunk(outs, np.asarray(ts[i:i + CHUNK]),
+                              tracker.kf_count_host)
+        tracker._between_chunk_passes()
         carry = tracker.carry
         i += CHUNK
 

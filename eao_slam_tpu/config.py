@@ -258,3 +258,27 @@ def euroc_config(flag: DemoFlag | str = DemoFlag.NONE, **kw) -> SystemConfig:
     if isinstance(flag, str):
         flag = DemoFlag(flag)
     return SystemConfig(camera=EUROC, flag=flag, **kw)
+
+
+def tiny_profile_config():
+    """160x120 / 128-feature / 4-level profile sized so the whole engine
+    compiles in seconds on a CPU host — the shared fixture of the
+    multi-chip dryrun (__graft_entry__), the multi-sequence scaling rows
+    (scaling_bench.py) and their correctness tests
+    (tests/test_multi_seq_engine.py). One definition: the scaling rows'
+    claim that 'correctness is asserted by the tests' is only true while
+    all three run the same profile."""
+    from eao_slam_tpu.geometry.camera import Camera
+
+    cam = Camera(fx=120.0, fy=120.0, cx=80.0, cy=60.0,
+                 width=160, height=120, fps=30.0)
+    return tum3_config().replace(
+        camera=cam,
+        orb=OrbConfig(n_features=128, n_features_init=256, n_levels=4),
+        tracking=TrackingConfig(min_init_matches=40, min_tracked_for_ok=15,
+                                min_matches_motion=12, min_matches_ref_kf=10,
+                                min_inliers_after_pose=8),
+        capacity=CapacityConfig(max_keyframes=16, max_points=1024,
+                                max_features=128, local_ba_points=256,
+                                grid_cols=16, grid_rows=12),
+    )

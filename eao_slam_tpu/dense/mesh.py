@@ -121,10 +121,10 @@ def marching_tetrahedra(
     bounded by ONE slab's intermediates regardless of grid resolution — a
     monolithic 96^3 pass holds several [C, 6, 6, 3] tensors (~370 MB
     each) live at once and exhausted a 16 GB chip inside a long-running
-    bench process. Each slab keeps a max_tris/4 budget; a final top-k
-    merges slabs (slab budgets overflowing would DROP triangles — the
-    valid count per slab is bounded by surface area, measured <3% of the
-    budget on the bench scenes)."""
+    bench process. Each slab keeps a FULL max_tris budget (the stacked
+    slab outputs are ~100 MB — cheap next to the per-slab intermediates)
+    so a surface concentrated in one slab, e.g. a wall perpendicular to
+    the slab axis, is never silently truncated below the global cap."""
     nx, ny, nz = tsdf.shape
     cy, cz = ny - 1, nz - 1
     cx = nx - 1
@@ -162,7 +162,7 @@ def marching_tetrahedra(
             tri_table[case, 1] = [quad[0], quad[2], quad[3]]
     tri_tab = jnp.asarray(tri_table)                            # [16, 2, 3]
 
-    slab_budget = max_tris // 4
+    slab_budget = max_tris
 
     def one_slab(x0):
         ii, jj, kk = jnp.meshgrid(

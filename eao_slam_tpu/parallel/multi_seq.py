@@ -194,7 +194,6 @@ class MultiSeqEngine:
         if self._carries is None:
             self._kf_base = [t.kf_count_host for t in self.trackers]
             self._carries = self._stack_carries()
-        kf_before = self._kf_base
         carries = self._carries
         args = (jnp.asarray(images_u8),
                 jnp.asarray(np.asarray(timestamps, np.float32)))

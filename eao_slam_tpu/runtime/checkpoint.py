@@ -185,6 +185,20 @@ def load_chunked_checkpoint(path: str, tracker) -> dict:
     if meta["flag"] != tracker.cfg.flag.value:
         raise ValueError(
             f"checkpoint flag {meta['flag']} != config {tracker.cfg.flag.value}")
+    # capacity check before any assignment (the v1 loader's contract): a
+    # wrong-shaped carry would desync from the K/P/F constants baked into
+    # the compiled chunk program and fail later as an obscure XLA error
+    cap = tracker.cfg.capacity
+    expect = {
+        "m_kf_pose": (cap.max_keyframes, 3, 4),
+        "m_pt_pos": (cap.max_points, 3),
+        "c_last_kp": (cap.max_features, 2),
+    }
+    for k, shape in expect.items():
+        if tuple(data[k].shape) != shape:
+            raise ValueError(
+                f"checkpoint field {k} shape {data[k].shape} != capacity "
+                f"{shape}")
 
     from eao_slam_tpu.objects.state import ObjectTable
 

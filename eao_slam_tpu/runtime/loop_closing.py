@@ -109,18 +109,24 @@ class LoopCloser:
                 int(upto.max()) if (upto >= 0).any() else -999
             )
 
-    def on_keyframe(self, tracker, slot: int, signature=None) -> bool:
+    def on_keyframe(self, tracker, slot: int, signature=None,
+                    order=None) -> bool:
         """Run detection (+ correction on success) for a new keyframe.
         Returns True if a loop was closed (map rewritten). `signature`
         lets the chunked path hand in a batch-computed signature (one
-        device readback per chunk instead of one per keyframe)."""
+        device readback per chunk instead of one per keyframe); `order`
+        is the keyframe's insertion order — required when replaying a
+        BACKLOG of keyframes against one view (the default, newest-order,
+        would mis-evaluate the recency exclusion and the 10-keyframe
+        cooldowns for all but the last one)."""
         if signature is None:
             m = tracker.map
             signature = np.asarray(
                 kf_signature(m.kf_desc[slot], m.kf_kp_valid[slot])
             )
         self.signatures[slot] = signature
-        order = len(tracker.kf_slots) - 1
+        if order is None:
+            order = len(tracker.kf_slots) - 1
         if order - self.last_loop_order < 10 or order < 10:
             return False
 
@@ -160,7 +166,10 @@ class LoopCloser:
         signature scoring otherwise. Returns the consistent candidates in
         score order (possibly several — verification disambiguates)."""
         covis = self._covis_weights(tracker, slot)
-        recent = set(tracker.kf_slots[-8:])
+        # temporal exclusion relative to THIS keyframe's order: its 8
+        # predecessors and everything after it (when replaying a backlog,
+        # later keyframes do not exist yet from this keyframe's view)
+        recent = set(tracker.kf_slots[max(0, order - 8):])
         scored: list = []       # (score, slot), filtered candidates
 
         if tracker.kfdb is not None and tracker.vocab is not None:

@@ -1189,23 +1189,28 @@ class ChunkedTracker:
         if n <= self._loop_checked:
             return
         view = _LoopView(self)
-        # batch-compute the new keyframes' signatures in ONE dispatch +
-        # ONE readback (per-keyframe kf_signature calls cost a round trip
-        # each; with several keyframes per chunk they dominated the loop
-        # pass's measured sync count). Fixed [chunk]-shaped gather so the
-        # program never re-specializes on the keyframe count.
+        # batch-compute the new keyframes' signatures in [chunk]-shaped
+        # dispatches — ONE readback per batch instead of one per keyframe
+        # (the per-keyframe round trips dominated the loop pass's measured
+        # sync count). Fixed shape so the program never re-specializes on
+        # the keyframe count; the loop covers ANY backlog size (a deferred
+        # multi-chunk drain can deliver several chunks' keyframes at once).
         from eao_slam_tpu.runtime.loop_closing import kf_signature
 
         m = self.carry.m
         K = m.kf_pose.shape[0]
-        slots = np.minimum(self._loop_checked + np.arange(self.chunk), K - 1)
-        sig_batch = np.asarray(jax.vmap(kf_signature)(
-            m.kf_desc[jnp.asarray(slots)], m.kf_kp_valid[jnp.asarray(slots)]))
+        sig_batches = []
+        for base in range(self._loop_checked, n, self.chunk):
+            slots = np.minimum(base + np.arange(self.chunk), K - 1)
+            sig_batches.append(np.asarray(jax.vmap(kf_signature)(
+                m.kf_desc[jnp.asarray(slots)],
+                m.kf_kp_valid[jnp.asarray(slots)])))
+        sig_batch = np.concatenate(sig_batches) if sig_batches else None
         closed = False
         for order in range(self._loop_checked, n):
-            sig = sig_batch[order - self._loop_checked] \
-                if order - self._loop_checked < self.chunk else None
-            if self.loop_closer.on_keyframe(view, order, signature=sig):
+            sig = sig_batch[order - self._loop_checked]
+            if self.loop_closer.on_keyframe(view, order, signature=sig,
+                                            order=order):
                 closed = True
         self._loop_checked = n
         self._loop_rng = view.rng_key

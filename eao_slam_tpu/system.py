@@ -250,10 +250,16 @@ class System:
         if not self.chunked:   # per-frame path already returns every pose
             T = getattr(tr, "last_T", None)
             return None if T is None else (None, np.asarray(T))
-        recs = [(t, T) for t, T, s in tr.records if T is not None]
-        if not recs:
+        # newest tracked record, scanning backwards (records grow one
+        # entry per frame — a forward filter would make per-frame polling
+        # quadratic over the run)
+        t_last = T_last = None
+        for t, T, s in reversed(tr.records):
+            if T is not None:
+                t_last, T_last = t, T
+                break
+        if T_last is None:
             return None
-        t_last, T_last = recs[-1]
         n_buf = len(self._img_buf) + len(self._frame_buf)
         if (not extrapolate or n_buf == 0 or not tr.armed
                 or tr.state != OK):

@@ -178,13 +178,7 @@ def multi_seq_slam_rows():
     devices, so measured weak-scaling efficiency is bounded above by 2/8 =
     0.25 before any framework overhead — the row is the fabric- AND
     host-pessimistic floor, not a pod projection."""
-    from eao_slam_tpu.config import (
-        CapacityConfig,
-        OrbConfig,
-        TrackingConfig,
-        tum3_config,
-    )
-    from eao_slam_tpu.geometry.camera import Camera
+    from eao_slam_tpu.config import tiny_profile_config
     from eao_slam_tpu.io.synthetic import (
         make_arc_trajectory,
         make_room_scene,
@@ -192,20 +186,9 @@ def multi_seq_slam_rows():
     )
     from eao_slam_tpu.parallel.multi_seq import MultiSeqEngine, make_seq_mesh
     from eao_slam_tpu.runtime.frame import frame_from_image
-    from eao_slam_tpu.runtime.scan_tracker import ChunkedTracker
 
-    cam = Camera(fx=120.0, fy=120.0, cx=80.0, cy=60.0,
-                 width=160, height=120, fps=30.0)
-    cfg = tum3_config().replace(
-        camera=cam,
-        orb=OrbConfig(n_features=128, n_features_init=256, n_levels=4),
-        tracking=TrackingConfig(min_init_matches=40, min_tracked_for_ok=15,
-                                min_matches_motion=12, min_matches_ref_kf=10,
-                                min_inliers_after_pose=8),
-        capacity=CapacityConfig(max_keyframes=16, max_points=1024,
-                                max_features=128, local_ba_points=256,
-                                grid_cols=16, grid_rows=12),
-    )
+    cfg = tiny_profile_config()
+    cam = cfg.camera
     CHUNK, N_TIMED = 8, 2
     # all arm within 8 frames on THIS exact 32-frame trajectory (the arc's
     # phase spacing depends on n_frames, so seeds are tied to the geometry)

@@ -11,8 +11,7 @@ import jax
 import numpy as np
 import pytest
 
-from eao_slam_tpu.config import CapacityConfig, OrbConfig, TrackingConfig, tum3_config
-from eao_slam_tpu.geometry.camera import Camera
+from eao_slam_tpu.config import tiny_profile_config
 from eao_slam_tpu.io.synthetic import (
     make_arc_trajectory,
     make_room_scene,
@@ -25,23 +24,11 @@ from eao_slam_tpu.runtime.scan_tracker import ChunkedTracker
 OK = 2
 CHUNK = 8
 
-CAM = Camera(fx=120.0, fy=120.0, cx=80.0, cy=60.0,
-             width=160, height=120, fps=30.0)
-
-
-def tiny_cfg():
-    """160x120 camera so the whole suite-entry compiles in seconds (the
-    same profile __graft_entry__._dryrun_engine_chunk validates)."""
-    return tum3_config().replace(
-        camera=CAM,
-        orb=OrbConfig(n_features=128, n_features_init=256, n_levels=4),
-        tracking=TrackingConfig(min_init_matches=40, min_tracked_for_ok=15,
-                                min_matches_motion=12, min_matches_ref_kf=10,
-                                min_inliers_after_pose=8),
-        capacity=CapacityConfig(max_keyframes=16, max_points=1024,
-                                max_features=128, local_ba_points=256,
-                                grid_cols=16, grid_rows=12),
-    )
+# the ONE shared tiny profile (config.tiny_profile_config) — also used by
+# the multi-chip dryrun and the scaling rows, which cite this test for
+# correctness
+tiny_cfg = tiny_profile_config
+CAM = tiny_profile_config().camera
 
 
 @pytest.fixture(scope="module")
